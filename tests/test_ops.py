@@ -1,0 +1,100 @@
+"""Golden tests: JAX point ops vs NumPy oracles of the CUDA semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iou3dmatch_tpu.ops import (
+    furthest_point_sample,
+    ball_query,
+    group_points,
+    three_nn,
+    three_interpolate,
+    gather_points,
+)
+from oracles import fps_oracle, ball_query_oracle, three_nn_oracle
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fps_matches_oracle(seed):
+    rng = np.random.RandomState(seed)
+    xyz = rng.randn(2, 257, 3).astype(np.float32) * 2.0
+    # inject zero-padded points that must be skipped
+    xyz[0, 5:40] = 0.0
+    xyz[1, 100:120] = 0.01  # |p|^2 ~ 3e-4 <= 1e-3 -> also skipped
+    got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 64))
+    for b in range(2):
+        want = fps_oracle(xyz[b], 64)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_fps_seeds_index_zero():
+    xyz = np.random.RandomState(3).randn(1, 64, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 8))
+    assert got[0, 0] == 0
+
+
+@pytest.mark.parametrize("seed,chunk", [(0, 4096), (1, 37), (2, 64)])
+def test_ball_query_matches_oracle(seed, chunk):
+    rng = np.random.RandomState(seed)
+    xyz = rng.rand(2, 300, 3).astype(np.float32)
+    new_xyz = rng.rand(2, 33, 3).astype(np.float32)
+    got = np.asarray(ball_query(0.2, 16, jnp.asarray(xyz), jnp.asarray(new_xyz), chunk))
+    for b in range(2):
+        want = ball_query_oracle(0.2, 16, xyz[b], new_xyz[b])
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_ball_query_empty_center():
+    xyz = np.zeros((1, 10, 3), np.float32)
+    xyz[0, :, 0] = np.arange(10)
+    new_xyz = np.full((1, 1, 3), 100.0, np.float32)  # far from everything
+    got = np.asarray(ball_query(0.5, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+    np.testing.assert_array_equal(got[0, 0], np.zeros(4, np.int32))
+
+
+def test_three_nn_matches_oracle():
+    rng = np.random.RandomState(0)
+    unknown = rng.rand(2, 50, 3).astype(np.float32)
+    known = rng.rand(2, 20, 3).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    for b in range(2):
+        dw, iw = three_nn_oracle(unknown[b], known[b])
+        np.testing.assert_array_equal(np.asarray(idx[b]), iw)
+        np.testing.assert_allclose(np.asarray(dist[b]), dw, rtol=1e-5, atol=1e-6)
+
+
+def test_three_interpolate_forward_and_grad():
+    rng = np.random.RandomState(0)
+    feats = rng.rand(1, 8, 5).astype(np.float32)
+    idx = rng.randint(0, 8, size=(1, 11, 3)).astype(np.int32)
+    w = rng.rand(1, 11, 3).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    out = np.asarray(three_interpolate(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w)))
+    want = (feats[0][idx[0]] * w[0][:, :, None]).sum(1)
+    np.testing.assert_allclose(out[0], want, rtol=1e-6)
+
+    # gradient w.r.t. features is a scatter-add of weights
+    def loss(f):
+        return jnp.sum(three_interpolate(f, jnp.asarray(idx), jnp.asarray(w)))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(feats)))
+    want_g = np.zeros_like(feats)
+    for i in range(11):
+        for k in range(3):
+            want_g[0, idx[0, i, k], :] += w[0, i, k]
+    np.testing.assert_allclose(g, want_g, rtol=1e-5, atol=1e-6)
+
+
+def test_gather_and_group():
+    rng = np.random.RandomState(0)
+    feats = rng.rand(2, 9, 4).astype(np.float32)
+    idx = rng.randint(0, 9, size=(2, 5)).astype(np.int32)
+    out = np.asarray(gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], feats[b][idx[b]])
+
+    gidx = rng.randint(0, 9, size=(2, 5, 3)).astype(np.int32)
+    gout = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(gidx)))
+    for b in range(2):
+        np.testing.assert_array_equal(gout[b], feats[b][gidx[b]])
