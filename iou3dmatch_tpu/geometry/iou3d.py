@@ -1,0 +1,203 @@
+"""Rotated 3D box IoU — TPU-native rebuild of OpenPCDet's iou3d_nms kernels.
+
+Box format: (x, y, z, dx, dy, dz, heading), z-up depth frame. NOTE the
+caller-side convention inherited from the reference: VoteNet headings are
+NEGATED before being packed into this format (`models/loss_helper_iou.py:35,
+37,88`), and this module consumes the already-negated heading exactly like
+`boxes_iou3d_gpu` (`OpenPCDet/pcdet/ops/iou3d_nms/iou3d_nms_utils.py:48-81`).
+
+The BEV overlap mirrors `box_overlap`
+(`OpenPCDet/pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu:105-227`):
+16 segment-segment intersections, 8 corner-containment tests with a 1e-2
+margin, centroid angle sort, shoelace area. Here each step is a fixed-shape
+vectorized jnp program (24 candidate vertices with a validity mask, stable
+argsort replaces the bubble sort); pairs are vmapped, so the whole cross
+product is one fused XLA graph on the VPU — no kernel launches, no atomics.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+_MARGIN = 1e-2
+
+
+def _cross2(o, a, b):
+    """cross(a - o, b - o), the CUDA `cross(p1, p2, p0)` with p0=o."""
+    return (a[0] - o[0]) * (b[1] - o[1]) - (b[0] - o[0]) * (a[1] - o[1])
+
+
+def _box_corners_bev(box):
+    """box: (7,) -> (4, 2) corners, CCW-rotated by heading about the center.
+
+    Corner order matches iou3d_nms_kernel.cu:127-134 ((x1,y1),(x2,y1),
+    (x2,y2),(x1,y2)) then rotate_around_center (kernel.cu:96-100).
+    """
+    cx, cy = box[0], box[1]
+    hx, hy = box[3] * 0.5, box[4] * 0.5
+    local = jnp.array(
+        [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]]
+    ) * jnp.stack([hx, hy])
+    c, s = jnp.cos(box[6]), jnp.sin(box[6])
+    rx = local[:, 0] * c - local[:, 1] * s + cx
+    ry = local[:, 0] * s + local[:, 1] * c + cy
+    return jnp.stack([rx, ry], axis=-1)
+
+
+def _seg_intersection(p0, p1, q0, q1):
+    """Segment p0-p1 vs q0-q1. Mirrors `intersection` (kernel.cu:63-91).
+
+    Returns (valid: bool, point: (2,)).
+    """
+    rect = (
+        (jnp.minimum(p0[0], p1[0]) <= jnp.maximum(q0[0], q1[0]))
+        & (jnp.minimum(q0[0], q1[0]) <= jnp.maximum(p0[0], p1[0]))
+        & (jnp.minimum(p0[1], p1[1]) <= jnp.maximum(q0[1], q1[1]))
+        & (jnp.minimum(q0[1], q1[1]) <= jnp.maximum(p0[1], p1[1]))
+    )
+    s1 = _cross2(p0, q0, p1)
+    s2 = _cross2(p0, p1, q1)
+    s3 = _cross2(q0, p0, q1)
+    s4 = _cross2(q0, q1, p1)
+    valid = rect & (s1 * s2 > 0) & (s3 * s4 > 0)
+
+    s5 = _cross2(p0, q1, p1)
+    denom = s5 - s1
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    ans_main = jnp.stack(
+        [(s5 * q0[0] - s1 * q1[0]) / safe, (s5 * q0[1] - s1 * q1[1]) / safe]
+    )
+    # degenerate branch (kernel.cu:83-90): general line-line form
+    a0 = p0[1] - p1[1]
+    b0 = p1[0] - p0[0]
+    c0 = p0[0] * p1[1] - p1[0] * p0[1]
+    a1 = q0[1] - q1[1]
+    b1 = q1[0] - q0[0]
+    c1 = q0[0] * q1[1] - q1[0] * q0[1]
+    d = a0 * b1 - a1 * b0
+    d_safe = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    ans_alt = jnp.stack([(b0 * c1 - b1 * c0) / d_safe, (a1 * c0 - a0 * c1) / d_safe])
+    ans = jnp.where(jnp.abs(denom) > _EPS, ans_main, ans_alt)
+    return valid, ans
+
+
+def _check_in_box2d(box, p):
+    """Mirrors check_in_box2d (kernel.cu:52-62), incl. the 1e-2 margin."""
+    c, s = jnp.cos(-box[6]), jnp.sin(-box[6])
+    dx, dy = p[0] - box[0], p[1] - box[1]
+    rx = dx * c - dy * s
+    ry = dx * s + dy * c
+    return (jnp.abs(rx) < box[3] * 0.5 + _MARGIN) & (
+        jnp.abs(ry) < box[4] * 0.5 + _MARGIN
+    )
+
+
+def _pair_overlap_bev(box_a, box_b):
+    """Exact rotated-rectangle intersection area for one pair of (7,) boxes."""
+    ca = _box_corners_bev(box_a)  # (4, 2)
+    cb = _box_corners_bev(box_b)
+    ca5 = jnp.concatenate([ca, ca[:1]], axis=0)
+    cb5 = jnp.concatenate([cb, cb[:1]], axis=0)
+
+    pts = []
+    valid = []
+    for i in range(4):
+        for j in range(4):
+            v, p = _seg_intersection(ca5[i], ca5[i + 1], cb5[j], cb5[j + 1])
+            pts.append(p)
+            valid.append(v)
+    for k in range(4):
+        pts.append(cb[k])
+        valid.append(_check_in_box2d(box_a, cb[k]))
+        pts.append(ca[k])
+        valid.append(_check_in_box2d(box_b, ca[k]))
+
+    pts = jnp.stack(pts)  # (24, 2)
+    valid = jnp.stack(valid)  # (24,)
+    vf = valid.astype(pts.dtype)
+    cnt = jnp.sum(valid.astype(jnp.int32))
+    cnt_safe = jnp.maximum(cnt, 1).astype(pts.dtype)
+    center = jnp.sum(pts * vf[:, None], axis=0) / cnt_safe
+
+    ang = jnp.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalids sort to the end, stably
+    order = jnp.argsort(ang)
+    sp = pts[order]  # (24, 2) sorted valid prefix
+
+    # fan triangulation from sp[0] (kernel.cu:220-224)
+    v = sp - sp[0]
+    crosses = v[:-1, 0] * v[1:, 1] - v[1:, 0] * v[:-1, 1]  # k=0..22
+    kidx = jnp.arange(23)
+    area = jnp.sum(jnp.where(kidx + 1 < cnt, crosses, 0.0))
+    return jnp.where(cnt > 0, jnp.abs(area) * 0.5, 0.0)
+
+
+_pair_overlap_rows = jax.vmap(jax.vmap(_pair_overlap_bev, (None, 0)), (0, None))
+
+
+@jax.jit
+def boxes_overlap_bev(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """(N, 7) x (M, 7) -> (N, M) exact rotated BEV intersection areas."""
+    return _pair_overlap_rows(
+        boxes_a.astype(jnp.float32), boxes_b.astype(jnp.float32)
+    )
+
+
+def _iou3d_from_overlap(boxes_a, boxes_b, overlaps_bev):
+    a_zmax = boxes_a[..., :, None, 2] + boxes_a[..., :, None, 5] * 0.5
+    a_zmin = boxes_a[..., :, None, 2] - boxes_a[..., :, None, 5] * 0.5
+    b_zmax = boxes_b[..., None, :, 2] + boxes_b[..., None, :, 5] * 0.5
+    b_zmin = boxes_b[..., None, :, 2] - boxes_b[..., None, :, 5] * 0.5
+    overlaps_h = jnp.clip(
+        jnp.minimum(a_zmax, b_zmax) - jnp.maximum(a_zmin, b_zmin), 0.0, None
+    )
+    inter = overlaps_bev * overlaps_h
+    vol_a = (boxes_a[..., 3] * boxes_a[..., 4] * boxes_a[..., 5])[..., :, None]
+    vol_b = (boxes_b[..., 3] * boxes_b[..., 4] * boxes_b[..., 5])[..., None, :]
+    return inter / jnp.clip(vol_a + vol_b - inter, 1e-6, None)
+
+
+@jax.jit
+def boxes_iou3d(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """3D IoU cross product, (N, 7) x (M, 7) -> (N, M).
+
+    Mirrors `boxes_iou3d_gpu` (iou3d_nms_utils.py:48-81): exact rotated BEV
+    overlap x clamped z overlap / union (union clamped at 1e-6).
+    """
+    boxes_a = boxes_a.astype(jnp.float32)
+    boxes_b = boxes_b.astype(jnp.float32)
+    return _iou3d_from_overlap(boxes_a, boxes_b, boxes_overlap_bev(boxes_a, boxes_b))
+
+
+@jax.jit
+def boxes_iou3d_paired_rows(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """Batched same-scene IoU: (B, K, 7) x (B, G, 7) -> (B, K, G).
+
+    The reference computes the full (B*K, B*G) cross product and then selects
+    the same-batch-row block (`models/loss_helper_iou.py:95-112`); only the
+    same-row entries are ever consumed, so we compute exactly those — a
+    B-fold FLOP reduction with identical results.
+    """
+    boxes_a = boxes_a.astype(jnp.float32)
+    boxes_b = boxes_b.astype(jnp.float32)
+    overlap = jax.vmap(_pair_overlap_rows)(boxes_a, boxes_b)
+    return jax.vmap(_iou3d_from_overlap)(boxes_a, boxes_b, overlap)
+
+
+def box3d_iou_axis_aligned(corners1: jax.Array, corners2: jax.Array) -> jax.Array:
+    """Axis-aligned IoU from two opposite corners.
+
+    corners: (..., 2, 3) [max_corner; min_corner] stacks. Differentiable.
+    Mirrors `box3d_iou_gpu_axis_aligned` (utils/box_util.py:413-439).
+    """
+    max_a = jnp.max(corners1, axis=-2)
+    min_a = jnp.min(corners1, axis=-2)
+    max_b = jnp.max(corners2, axis=-2)
+    min_b = jnp.min(corners2, axis=-2)
+    max_min = jnp.maximum(min_a, min_b)
+    min_max = jnp.minimum(max_a, max_b)
+    vol_a = jnp.prod(max_a - min_a, axis=-1)
+    vol_b = jnp.prod(max_b - min_b, axis=-1)
+    inter = jnp.prod(jnp.clip(min_max - max_min, 0.0, None), axis=-1)
+    return inter / (vol_a + vol_b - inter + 1e-8)

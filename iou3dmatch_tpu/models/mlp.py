@@ -1,0 +1,74 @@
+"""Shared-MLP building blocks with torch-semantics BatchNorm.
+
+Replaces `pointnet2/pytorch_utils.py` (SharedMLP / Conv1d+BN wrappers,
+`:14-263`) with channels-last Dense layers — a 1x1 conv over points IS a
+matmul, so every layer lands on the MXU directly.
+
+BatchNorm matches torch BatchNorm1d/2d semantics (pytorch default eps=1e-5):
+normalization uses biased batch variance, the running-variance update uses
+the unbiased estimate, and ``running = (1-m)*running + m*batch``. The
+momentum ``m`` is a *traced* scalar so the epoch-indexed BN-momentum schedule
+(`pytorch_utils.BNMomentumScheduler`, `:265-299`; driven from
+pretrain.py:200-207 / train.py:231-239) never retriggers compilation.
+"""
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """Channels-last batch norm over all leading axes."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum=0.1):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            n = x.size // self.features
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, dtype=ra_mean.value.dtype)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias
+
+
+class SharedMLP(nn.Module):
+    """Dense -> BN -> ReLU stack applied pointwise over the channel axis.
+
+    Equivalent to the reference `SharedMLP` of 1x1 Conv2d+BN+ReLU layers
+    (pytorch_utils.py:14-39); channels-last Dense maps onto the MXU.
+    """
+
+    features: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum=0.1):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(
+                f, kernel_init=nn.initializers.he_normal(), name=f"dense{i}"
+            )(x)
+            if self.bn:
+                x = BatchNorm(f, name=f"bn{i}")(x, train=train, momentum=momentum)
+            x = nn.relu(x)
+        return x

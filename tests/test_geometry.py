@@ -1,0 +1,221 @@
+"""Geometry tests: rotated IoU vs polygon-clipping oracle, chamfer, NMS/LHS."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iou3dmatch_tpu.geometry import (
+    boxes_iou3d,
+    boxes_iou3d_paired_rows,
+    box3d_iou_axis_aligned,
+    huber_loss,
+    nn_distance,
+    nn_distance_withcls,
+    nms_3d_faster_samecls,
+    lhs_3d_faster_samecls,
+    lhs_3d_samecls_jax,
+    corners_aabb,
+    get_3d_box_batch_np,
+    flip_axis_to_camera,
+)
+
+
+# ---------- oracle: exact rotated-rect intersection via polygon clipping ----
+def _rect_corners(cx, cy, dx, dy, ang):
+    local = np.array([[-dx, -dy], [dx, -dy], [dx, dy], [-dx, dy]]) * 0.5
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, -s], [s, c]])
+    return local @ R.T + np.array([cx, cy])
+
+
+def _clip(subject, clip_poly):
+    """Sutherland-Hodgman, CCW convex clip."""
+    out = list(subject)
+    cp1 = clip_poly[-1]
+    for cp2 in clip_poly:
+        inp = out
+        out = []
+        if not inp:
+            return []
+        s = inp[-1]
+        for e in inp:
+            side_e = (cp2[0] - cp1[0]) * (e[1] - cp1[1]) - (cp2[1] - cp1[1]) * (e[0] - cp1[0])
+            side_s = (cp2[0] - cp1[0]) * (s[1] - cp1[1]) - (cp2[1] - cp1[1]) * (s[0] - cp1[0])
+            if side_e > 0:
+                if side_s <= 0:
+                    out.append(_isect(cp1, cp2, s, e))
+                out.append(e)
+            elif side_s > 0:
+                out.append(_isect(cp1, cp2, s, e))
+            s = e
+        cp1 = cp2
+    return out
+
+
+def _isect(cp1, cp2, s, e):
+    dc = (cp1[0] - cp2[0], cp1[1] - cp2[1])
+    dp = (s[0] - e[0], s[1] - e[1])
+    n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]
+    n2 = s[0] * e[1] - s[1] * e[0]
+    n3 = 1.0 / (dc[0] * dp[1] - dc[1] * dp[0])
+    return ((n1 * dp[0] - n2 * dc[0]) * n3, (n1 * dp[1] - n2 * dc[1]) * n3)
+
+
+def _poly_area(pts):
+    if len(pts) < 3:
+        return 0.0
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    return 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+
+
+def iou3d_oracle(a, b):
+    inter_poly = _clip(
+        list(_rect_corners(a[0], a[1], a[3], a[4], a[6])),
+        list(_rect_corners(b[0], b[1], b[3], b[4], b[6])),
+    )
+    bev = _poly_area(inter_poly)
+    zo = max(
+        0.0,
+        min(a[2] + a[5] / 2, b[2] + b[5] / 2) - max(a[2] - a[5] / 2, b[2] - b[5] / 2),
+    )
+    inter = bev * zo
+    va = a[3] * a[4] * a[5]
+    vb = b[3] * b[4] * b[5]
+    return inter / max(va + vb - inter, 1e-6)
+
+
+def _random_boxes(rng, n):
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:3] = rng.uniform(-2, 2, (n, 3))
+    boxes[:, 3:6] = rng.uniform(0.3, 2.5, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_rotated_iou3d_matches_oracle(seed):
+    rng = np.random.RandomState(seed)
+    a = _random_boxes(rng, 24)
+    b = _random_boxes(rng, 16)
+    # make some pairs heavily overlapping / identical / touching
+    b[0] = a[0]
+    b[1] = a[1]
+    b[1, 6] += 0.3
+    b[2] = a[2]
+    b[2, 0] += a[2, 3]  # touching along x
+    got = np.asarray(boxes_iou3d(jnp.asarray(a), jnp.asarray(b)))
+    want = np.array([[iou3d_oracle(ai, bj) for bj in b] for ai in a])
+    # MARGIN=1e-2 corner-containment (inherited from the reference kernel)
+    # admits tiny overlaps for near-touching boxes; tolerance accounts for it.
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # and strongly-overlapping pairs should be tight
+    np.testing.assert_allclose(got[0, 0], 1.0, atol=1e-3)
+    np.testing.assert_allclose(got[1, 1], want[1, 1], atol=5e-3)
+
+
+def test_identical_boxes_iou_one():
+    a = np.array([[0, 0, 0, 1.0, 2.0, 1.5, 0.7]], np.float32)
+    got = float(boxes_iou3d(jnp.asarray(a), jnp.asarray(a))[0, 0])
+    assert abs(got - 1.0) < 1e-4
+
+
+def test_disjoint_boxes_iou_zero():
+    a = np.array([[0, 0, 0, 1.0, 1.0, 1.0, 0.3]], np.float32)
+    b = np.array([[10, 10, 10, 1.0, 1.0, 1.0, -0.2]], np.float32)
+    assert float(boxes_iou3d(jnp.asarray(a), jnp.asarray(b))[0, 0]) == 0.0
+
+
+def test_paired_rows_matches_cross_product_blocks():
+    rng = np.random.RandomState(0)
+    a = _random_boxes(rng, 6).reshape(2, 3, 7)
+    b = _random_boxes(rng, 8).reshape(2, 4, 7)
+    paired = np.asarray(boxes_iou3d_paired_rows(jnp.asarray(a), jnp.asarray(b)))
+    for i in range(2):
+        full = np.asarray(boxes_iou3d(jnp.asarray(a[i]), jnp.asarray(b[i])))
+        np.testing.assert_allclose(paired[i], full, rtol=1e-5, atol=1e-6)
+
+
+def test_axis_aligned_iou():
+    c1 = jnp.asarray([[[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]]])  # unit cube
+    c2 = jnp.asarray([[[1.5, 1.0, 1.0], [0.5, 0.0, 0.0]]])  # shifted 0.5 in x
+    got = float(box3d_iou_axis_aligned(c1, c2)[0])
+    assert abs(got - 0.5 / 1.5) < 1e-5
+
+
+def test_huber_and_nn_distance():
+    err = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    got = np.asarray(huber_loss(err, delta=1.0))
+    want = np.array([1.5, 0.125, 0.0, 0.125, 1.5])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    rng = np.random.RandomState(0)
+    pc1 = rng.rand(1, 5, 3).astype(np.float32)
+    pc2 = rng.rand(1, 6, 3).astype(np.float32)
+    d1, i1, d2, i2 = nn_distance(jnp.asarray(pc1), jnp.asarray(pc2))
+    dm = ((pc1[0][:, None] - pc2[0][None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d1[0]), dm.min(1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1[0]), dm.argmin(1))
+    np.testing.assert_allclose(np.asarray(d2[0]), dm.min(0), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2[0]), dm.argmin(0))
+
+    # class-gated
+    cls1 = jnp.asarray([[0, 1, 0, 1, 0]])
+    cls2 = jnp.asarray([[0, 0, 1, 1, 0, 1]])
+    d1c, _, _, _ = nn_distance_withcls(jnp.asarray(pc1), jnp.asarray(pc2), cls1, cls2)
+    dmc = dm + (np.asarray(cls1)[0][:, None] != np.asarray(cls2)[0][None]) * 1000.0
+    np.testing.assert_allclose(np.asarray(d1c[0]), dmc.min(1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_lhs_jax_matches_numpy(seed):
+    rng = np.random.RandomState(seed)
+    k = 32
+    mins = rng.uniform(-3, 2, (k, 3)).astype(np.float32)
+    maxs = mins + rng.uniform(0.5, 2.5, (k, 3)).astype(np.float32)
+    scores = rng.rand(k).astype(np.float32)
+    cls = rng.randint(0, 3, k).astype(np.float32)
+    boxes = np.concatenate([mins, maxs, scores[:, None], cls[:, None]], axis=1)
+    pick = lhs_3d_faster_samecls(boxes, 0.25)
+    want = np.zeros(k, bool)
+    want[np.array(pick, int)] = True
+    got = np.asarray(
+        lhs_3d_samecls_jax(
+            jnp.asarray(mins), jnp.asarray(maxs), jnp.asarray(scores),
+            jnp.asarray(cls), 0.25,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_samecls_basic():
+    # two same-class heavily overlapping boxes, one other-class overlapping
+    boxes = np.array(
+        [
+            [0, 0, 0, 1, 1, 1, 0.9, 0],
+            [0.05, 0, 0, 1.05, 1, 1, 0.8, 0],  # suppressed by box 0
+            [0.05, 0, 0, 1.05, 1, 1, 0.7, 1],  # different class: kept
+            [5, 5, 5, 6, 6, 6, 0.6, 0],  # far away: kept
+        ]
+    )
+    pick = sorted(nms_3d_faster_samecls(boxes, 0.25))
+    assert pick == [0, 2, 3]
+
+
+def test_corners_aabb_matches_camera_frame_corner_aabb():
+    """AABB of rotated box in depth frame == permuted camera-frame corner AABB."""
+    rng = np.random.RandomState(0)
+    center = rng.randn(5, 3).astype(np.float32)
+    size = rng.uniform(0.5, 2, (5, 3)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, 5).astype(np.float32)
+    mins, maxs = corners_aabb(
+        jnp.asarray(center), jnp.asarray(size), jnp.asarray(heading)
+    )
+    corners_cam = get_3d_box_batch_np(size, heading, flip_axis_to_camera(center))
+    # camera (x, y, z) = depth (x, -z, y): depth-x = cam-x, depth-y = cam-z,
+    # depth-z = -cam-y
+    dx_min = corners_cam[..., 0].min(-1)
+    dy_min = corners_cam[..., 2].min(-1)
+    dz_min = (-corners_cam[..., 1]).min(-1)
+    np.testing.assert_allclose(np.asarray(mins)[:, 0], dx_min, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mins)[:, 1], dy_min, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mins)[:, 2], dz_min, atol=1e-4)
