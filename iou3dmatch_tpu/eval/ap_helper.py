@@ -1,0 +1,211 @@
+"""Prediction/GT parsing and AP accumulation.
+
+Mirrors `models/ap_helper.py:51-435`. The box decode + corner generation is
+vectorized NumPy (the reference loops per box in Python); the NMS pick logic
+and per-class proposal emission match the reference exactly, including the
+IoU-guided NMS score (obj_prob * sigmoid(iou)) behind ``use_iou_for_nms``.
+"""
+import numpy as np
+
+from ..geometry.boxes import flip_axis_to_camera, get_3d_box_batch_np
+from ..geometry.nms import nms_2d_faster, nms_3d_faster, nms_3d_faster_samecls
+from .eval_det import eval_det_multiprocessing, get_iou_obb
+
+
+def softmax_np(x):
+    probs = np.exp(x - np.max(x, axis=-1, keepdims=True))
+    return probs / np.sum(probs, axis=-1, keepdims=True)
+
+
+def _to_np(x):
+    return np.asarray(x)
+
+
+def predictions2corners3d(ep, config_dict):
+    """Decode predictions to camera-frame corners + (B, K, 7) params
+    (ap_helper.py:51-93), vectorized."""
+    cfg = config_dict["dataset_config"]
+    pred_center = _to_np(ep["center"])
+    heading_scores = _to_np(ep["heading_scores"])
+    heading_residuals = _to_np(ep["heading_residuals"])
+    size_scores = _to_np(ep["size_scores"])
+    size_residuals = _to_np(ep["size_residuals"])
+
+    pred_heading_class = np.argmax(heading_scores, -1)
+    pred_heading_residual = np.take_along_axis(
+        heading_residuals, pred_heading_class[..., None], axis=2
+    )[..., 0]
+    pred_size_class = np.argmax(size_scores, -1)
+    pred_size_residual = np.take_along_axis(
+        size_residuals, pred_size_class[..., None, None], axis=2
+    )[:, :, 0, :]
+
+    heading_angle = cfg.class2angle(pred_heading_class, pred_heading_residual)
+    box_size = cfg.mean_size_arr[pred_size_class] + pred_size_residual
+
+    params = np.zeros(pred_center.shape[:2] + (7,), dtype=np.float32)
+    params[..., 0:3] = pred_center
+    params[..., 3:6] = box_size
+    params[..., 6] = heading_angle
+
+    center_cam = flip_axis_to_camera(pred_center)
+    corners = get_3d_box_batch_np(box_size, heading_angle, center_cam)
+    return corners.astype(np.float32), params
+
+
+def parse_predictions(ep, config_dict):
+    """NMS + per-class proposal list (ap_helper.py:96-221).
+
+    Returns batch_pred_map_cls: [[(cls, corners(8,3), score), ...], ...].
+    """
+    cfg = config_dict["dataset_config"]
+    pred_center = _to_np(ep["center"])
+    sem_cls_probs = softmax_np(_to_np(ep["sem_cls_scores"]))
+    pred_sem_cls = np.argmax(sem_cls_probs, -1)
+
+    corners, _ = predictions2corners3d(ep, config_dict)
+    bsize, k = corners.shape[:2]
+    nonempty = np.ones((bsize, k))
+
+    obj_prob = softmax_np(_to_np(ep["objectness_scores"]))[:, :, 1]
+
+    mins = corners.min(axis=2)  # (B, K, 3) camera-frame AABB
+    maxs = corners.max(axis=2)
+
+    pred_mask = np.zeros((bsize, k))
+    if not config_dict["use_3d_nms"]:
+        for i in range(bsize):
+            boxes2d = np.stack(
+                [mins[i, :, 0], mins[i, :, 2], maxs[i, :, 0], maxs[i, :, 2],
+                 obj_prob[i]], axis=1,
+            )
+            keep = np.where(nonempty[i] == 1)[0]
+            pick = nms_2d_faster(
+                boxes2d[keep], config_dict["nms_iou"], config_dict["use_old_type_nms"]
+            )
+            assert len(pick) > 0
+            pred_mask[i, keep[pick]] = 1
+    elif not config_dict["cls_nms"]:
+        for i in range(bsize):
+            boxes3d = np.concatenate([mins[i], maxs[i], obj_prob[i, :, None]], axis=1)
+            keep = np.where(nonempty[i] == 1)[0]
+            pick = nms_3d_faster(
+                boxes3d[keep], config_dict["nms_iou"], config_dict["use_old_type_nms"]
+            )
+            assert len(pick) > 0
+            pred_mask[i, keep[pick]] = 1
+    else:
+        scores = obj_prob
+        if config_dict.get("use_iou_for_nms"):
+            iou_logits = 1.0 / (1.0 + np.exp(-_to_np(ep["iou_scores"])))
+            if iou_logits.shape[2] > 1:
+                iou_logits = np.take_along_axis(
+                    iou_logits, pred_sem_cls[..., None], axis=2
+                )
+            scores = scores * iou_logits[..., 0]
+        for i in range(bsize):
+            boxes3d = np.concatenate(
+                [mins[i], maxs[i], scores[i, :, None],
+                 pred_sem_cls[i, :, None].astype(np.float64)], axis=1,
+            )
+            keep = np.where(nonempty[i] == 1)[0]
+            pick = nms_3d_faster_samecls(
+                boxes3d[keep], config_dict["nms_iou"], config_dict["use_old_type_nms"]
+            )
+            assert len(pick) > 0
+            pred_mask[i, keep[pick]] = 1
+
+    batch_pred_map_cls = []
+    conf = config_dict["conf_thresh"]
+    for i in range(bsize):
+        if config_dict["per_class_proposal"]:
+            cur = []
+            for c in range(cfg.num_class):
+                cur += [
+                    (c, corners[i, j], sem_cls_probs[i, j, c] * obj_prob[i, j])
+                    for j in range(pred_center.shape[1])
+                    if pred_mask[i, j] == 1 and obj_prob[i, j] > conf
+                ]
+            batch_pred_map_cls.append(cur)
+        else:
+            batch_pred_map_cls.append(
+                [
+                    (int(pred_sem_cls[i, j]), corners[i, j], obj_prob[i, j])
+                    for j in range(pred_center.shape[1])
+                    if pred_mask[i, j] == 1 and obj_prob[i, j] > conf
+                ]
+            )
+    return batch_pred_map_cls
+
+
+def parse_groundtruths(batch, config_dict):
+    """GT corners list (ap_helper.py:224-290), vectorized decode."""
+    cfg = config_dict["dataset_config"]
+    center = _to_np(batch["center_label"])[..., 0:3]
+    heading_class = _to_np(batch["heading_class_label"])
+    heading_residual = _to_np(batch["heading_residual_label"])
+    size_class = _to_np(batch["size_class_label"])
+    size_residual = _to_np(batch["size_residual_label"])
+    mask = _to_np(batch["box_label_mask"])
+    sem = _to_np(batch["sem_cls_label"])
+
+    heading_angle = cfg.class2angle(heading_class, heading_residual)
+    box_size = cfg.mean_size_arr[size_class] + size_residual
+    corners = get_3d_box_batch_np(
+        box_size, heading_angle, flip_axis_to_camera(center)
+    ).astype(np.float32)
+
+    batch_gt_map_cls = []
+    for i in range(center.shape[0]):
+        batch_gt_map_cls.append(
+            [
+                (int(sem[i, j]), corners[i, j])
+                for j in range(center.shape[1])
+                if mask[i, j] == 1
+            ]
+        )
+    return batch_gt_map_cls
+
+
+class APCalculator:
+    """AP accumulator (ap_helper.py:382-435)."""
+
+    def __init__(self, ap_iou_thresh=0.25, class2type_map=None, processes=10):
+        self.ap_iou_thresh = ap_iou_thresh
+        self.class2type_map = class2type_map
+        self.processes = processes
+        self.reset()
+
+    def step(self, batch_pred_map_cls, batch_gt_map_cls):
+        assert len(batch_pred_map_cls) == len(batch_gt_map_cls)
+        for i in range(len(batch_pred_map_cls)):
+            self.gt_map_cls[self.scan_cnt] = batch_gt_map_cls[i]
+            self.pred_map_cls[self.scan_cnt] = batch_pred_map_cls[i]
+            self.scan_cnt += 1
+
+    def compute_metrics(self):
+        rec, _, ap = eval_det_multiprocessing(
+            self.pred_map_cls, self.gt_map_cls, ovthresh=self.ap_iou_thresh,
+            get_iou_func=get_iou_obb, processes=self.processes,
+        )
+        ret = {}
+        for key in sorted(ap.keys()):
+            clsname = self.class2type_map[key] if self.class2type_map else str(key)
+            ret["%s Average Precision" % clsname] = ap[key]
+        ret["mAP"] = np.mean(list(ap.values())) if ap else 0.0
+        rec_list = []
+        for key in sorted(ap.keys()):
+            clsname = self.class2type_map[key] if self.class2type_map else str(key)
+            try:
+                ret["%s Recall" % clsname] = rec[key][-1]
+                rec_list.append(rec[key][-1])
+            except (TypeError, IndexError):
+                ret["%s Recall" % clsname] = 0
+                rec_list.append(0)
+        ret["AR"] = np.mean(rec_list) if rec_list else 0.0
+        return ret
+
+    def reset(self):
+        self.gt_map_cls = {}
+        self.pred_map_cls = {}
+        self.scan_cnt = 0

@@ -1,0 +1,75 @@
+"""PointNet++ backbone.
+
+Mirrors `models/backbone_module.py:21-133`: 4 single-scale-grouping SA layers
+(2048/1024/512/256 points, radii 0.2/0.4/0.8/1.2, nsample 64/32/16/16, all
+normalize_xyz) + 2 FP layers, seeds = fp2 (1024 points, 256-d features).
+
+The SA point counts are configurable so tiny configs (CI / multi-chip
+dry-runs) can shrink the model without touching the architecture.
+"""
+from typing import Optional, Sequence, Tuple
+
+import jax
+from flax import linen as nn
+
+from .pointnet2 import PointnetSAModuleVotes, PointnetFPModule
+
+
+class Pointnet2Backbone(nn.Module):
+    input_feature_dim: int = 0
+    sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
+    sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
+    sa_nsamples: Sequence[int] = (64, 32, 16, 16)
+
+    def setup(self):
+        c_in = self.input_feature_dim
+        self.sa1 = PointnetSAModuleVotes(
+            npoint=self.sa_npoints[0], radius=self.sa_radii[0],
+            nsample=self.sa_nsamples[0], mlp=(c_in, 64, 64, 128),
+        )
+        self.sa2 = PointnetSAModuleVotes(
+            npoint=self.sa_npoints[1], radius=self.sa_radii[1],
+            nsample=self.sa_nsamples[1], mlp=(128, 128, 128, 256),
+        )
+        self.sa3 = PointnetSAModuleVotes(
+            npoint=self.sa_npoints[2], radius=self.sa_radii[2],
+            nsample=self.sa_nsamples[2], mlp=(256, 128, 128, 256),
+        )
+        self.sa4 = PointnetSAModuleVotes(
+            npoint=self.sa_npoints[3], radius=self.sa_radii[3],
+            nsample=self.sa_nsamples[3], mlp=(256, 128, 128, 256),
+        )
+        self.fp1 = PointnetFPModule(mlp=(256 + 256, 256, 256))
+        self.fp2 = PointnetFPModule(mlp=(256 + 256, 256, 256))
+
+    def __call__(self, pointcloud: jax.Array, *, train: bool, momentum=0.1) -> dict:
+        """pointcloud: (B, N, 3 + input_feature_dim) -> end_points dict."""
+        xyz = pointcloud[..., 0:3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        ep = {}
+        xyz, features, fps_inds = self.sa1(xyz, features, train=train, momentum=momentum)
+        ep["sa1_inds"], ep["sa1_xyz"], ep["sa1_features"] = fps_inds, xyz, features
+        xyz, features, fps_inds = self.sa2(xyz, features, train=train, momentum=momentum)
+        ep["sa2_inds"], ep["sa2_xyz"], ep["sa2_features"] = fps_inds, xyz, features
+        xyz, features, _ = self.sa3(xyz, features, train=train, momentum=momentum)
+        ep["sa3_xyz"], ep["sa3_features"] = xyz, features
+        xyz, features, _ = self.sa4(xyz, features, train=train, momentum=momentum)
+        ep["sa4_xyz"], ep["sa4_features"] = xyz, features
+
+        features = self.fp1(
+            ep["sa3_xyz"], ep["sa4_xyz"], ep["sa3_features"], ep["sa4_features"],
+            train=train, momentum=momentum,
+        )
+        features = self.fp2(
+            ep["sa2_xyz"], ep["sa3_xyz"], ep["sa2_features"], features,
+            train=train, momentum=momentum,
+        )
+        ep["fp2_features"] = features
+        ep["fp2_xyz"] = ep["sa2_xyz"]
+        num_seed = ep["fp2_xyz"].shape[1]
+        # seed indices into the raw cloud = first num_seed of sa1's FPS order
+        # (backbone_module.py:132; valid because FPS of an FPS-ordered set
+        # re-selects the prefix in order)
+        ep["fp2_inds"] = ep["sa1_inds"][:, 0:num_seed]
+        return ep

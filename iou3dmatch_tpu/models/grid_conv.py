@@ -1,0 +1,108 @@
+"""GridConv IoU-prediction branch.
+
+Mirrors `models/grid_conv_module.py:22-116`: a 4x4x4 grid spanning +/- the
+half-extent of each predicted box (rotated by heading, offset by center),
+3-NN inverse-distance interpolation of (detached) seed features onto the
+grid points, concat of the 3-d box-relative grid coordinates (first) with
+the interpolated features, a SharedMLP, a max-pool over the 64 grid points,
+and a small conv head whose LAST ``num_class`` channels are the per-class
+IoU logits.
+
+TPU note: the grid build + rotation is one batched matmul; the 3-NN runs
+against 1024 seeds with (B, K*64) queries — dense, fixed-shape, MXU/VPU
+friendly. Gradients flow to (center, size, heading) when not detached by
+the caller, enabling test-time IoU optimization.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..geometry.boxes import rot_gpu
+from ..ops import three_nn
+from .mlp import BatchNorm, SharedMLP
+
+GRID_SIZE = 4
+
+
+def _grid_offsets():
+    """(64, 3) lattice in [-1, 1]^3; x slowest, z fastest
+    (grid_conv_module.py:65-76)."""
+    step = np.linspace(-1.0, 1.0, GRID_SIZE)
+    gx, gy, gz = np.meshgrid(step, step, step, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+
+
+class GridConv(nn.Module):
+    num_class: int
+    num_heading_bin: int
+    num_size_cluster: int
+    seed_feat_dim: int = 256
+    query_feats: str = "seed"
+    iou_class_depend: bool = True
+
+    def setup(self):
+        self.iou_size = self.num_class if self.iou_class_depend else 1
+        self.mlp_before_iou = SharedMLP((128, 128, 128))
+        out_dim = (
+            3 + self.num_heading_bin * 2 + self.num_size_cluster * 3 + self.iou_size
+        )
+        self.conv1_iou = nn.Dense(128)
+        self.conv2_iou = nn.Dense(128)
+        self.conv3_iou = nn.Dense(out_dim)
+        self.bn1_iou = BatchNorm(128)
+        self.bn2_iou = BatchNorm(128)
+
+    def __call__(
+        self,
+        center: jax.Array,   # (B, K, 3)
+        size: jax.Array,     # (B, K, 3) HALF extents
+        heading: jax.Array,  # (B, K)
+        ep: dict,
+        *,
+        train: bool,
+        momentum=0.1,
+    ) -> dict:
+        if self.query_feats == "vote":
+            origin_xyz, origin_features = ep["vote_xyz"], ep["vote_features"]
+        elif self.query_feats == "seed":
+            origin_xyz, origin_features = ep["seed_xyz"], ep["seed_features"]
+        elif self.query_feats == "seed+vote":
+            origin_xyz, origin_features = ep["seed_xyz"], ep["vote_features"]
+        else:
+            raise NotImplementedError(self.query_feats)
+        origin_xyz = jax.lax.stop_gradient(origin_xyz)
+        origin_features = jax.lax.stop_gradient(origin_features)
+
+        b, k = size.shape[:2]
+        g = GRID_SIZE**3
+        offsets = jnp.asarray(_grid_offsets(), dtype=center.dtype)  # (64, 3)
+        # relative grid (pre-rotation, box frame): offsets * half-extents
+        rel = offsets[None, None, :, :] * size[:, :, None, :]  # (B, K, 64, 3)
+        rot = rot_gpu(heading)  # (B, K, 3, 3); grid @ rot^T rotates CCW
+        grid = jnp.einsum(
+            "bkgc,bkdc->bkgd", rel, jnp.swapaxes(rot, -1, -2),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        grid = grid + center[:, :, None, :]  # (B, K, 64, 3) world frame
+        flat_grid = grid.reshape(b, k * g, 3)
+
+        dist, idx = three_nn(flat_grid, origin_xyz)  # (B, K*64, 3)
+        weight = 1.0 / (dist + 1e-8)
+        weight = weight / jnp.sum(weight, axis=2, keepdims=True)
+        gathered = jax.vmap(lambda f, i: f[i])(origin_features, idx)  # (B, K*64, 3, C)
+        interp = jnp.sum(gathered * weight[..., None], axis=2)  # (B, K*64, C)
+
+        # relative grid coords in world orientation (grid - center),
+        # matching grid_conv_module.py:94
+        rel_world = (grid - center[:, :, None, :]).reshape(b, k * g, 3)
+        feats = jnp.concatenate([rel_world, interp], axis=-1)
+        feats = feats.reshape(b, k, g, -1)
+        feats = self.mlp_before_iou(feats, train=train, momentum=momentum)
+        pooled = jnp.max(feats, axis=2)  # (B, K, 128)
+
+        net = nn.relu(self.bn1_iou(self.conv1_iou(pooled), train=train, momentum=momentum))
+        net = nn.relu(self.bn2_iou(self.conv2_iou(net), train=train, momentum=momentum))
+        net = self.conv3_iou(net)
+        ep["iou_scores"] = net[..., -self.iou_size :]
+        return ep

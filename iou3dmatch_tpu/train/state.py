@@ -1,0 +1,61 @@
+"""Train state container + optimizer.
+
+Checkpoint contents mirror the reference torch.save dicts
+{epoch, optimizer_state_dict, model_state_dict[, ema_model_state_dict]}
+(pretrain.py:371-406, train.py:569-608): here
+{step, params, batch_stats, opt_state} (+ ema_params / ema_batch_stats for
+the SSL stage). Adam matches torch defaults (betas 0.9/0.999, eps 1e-8,
+optional additive L2 weight decay applied before the moment updates).
+"""
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    ema_params: Optional[Any] = None
+    ema_batch_stats: Optional[Any] = None
+
+
+def make_optimizer(weight_decay: float = 0.0):
+    """Adam with lr supplied per-step by the caller (traced scalar)."""
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.scale_by_adam()
+        )
+    return optax.scale_by_adam()
+
+
+def create_train_state(model, rng, example_batch, with_ema=False, weight_decay=0.0):
+    """Initialize params/batch_stats from an example batch."""
+    import jax.numpy as jnp
+
+    init_rng, jitter_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng},
+        example_batch["point_clouds"],
+        jitter_rng,
+        train=False,
+        method=model.forward_with_pred_jitter,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(weight_decay)
+    opt_state = tx.init(params)
+    ema_params = jax.tree.map(lambda x: x, params) if with_ema else None
+    ema_bs = jax.tree.map(lambda x: x, batch_stats) if with_ema else None
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+        ema_params=ema_params,
+        ema_batch_stats=ema_bs,
+    )

@@ -1,0 +1,157 @@
+"""Jitted training / evaluation steps.
+
+Each step is a pure function (params, batch, scalars) -> (params, metrics):
+the entire forward + loss + backward + Adam + EMA chain compiles into ONE
+XLA program per stage. Scalars (lr, BN momentum) are traced, so the epoch
+schedules never recompile. Under a data mesh (parallel/), the same step
+functions run SPMD — gradient all-reduce and cross-replica BN statistics
+fall out of GSPMD sharding propagation (no NCCL-style code, cf. the
+reference's nn.DataParallel at train.py:187-191).
+
+Reference call stacks mirrored: pretrain train_one_epoch
+(pretrain.py:310-347), SSL train_one_epoch (train.py:305-371), EMA update
+(train.py:285-289).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import get_labeled_loss, get_loss, get_unlabeled_loss
+from .state import TrainState, make_optimizer
+
+
+def ema_update(ema_params, params, alpha):
+    """ema = alpha * ema + (1 - alpha) * param (train.py:285-289)."""
+    return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
+
+
+def make_pretrain_step(model, cfg, weight_decay=0.0):
+    """Supervised pretrain step: forward_with_pred_jitter + labeled loss."""
+    tx = make_optimizer(weight_decay)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng, lr, bn_momentum):
+        num_labeled = batch["point_clouds"].shape[0]
+
+        def loss_fn(params):
+            ep, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["point_clouds"], rng, train=True, momentum=bn_momentum,
+                mutable=["batch_stats"],
+                method=model.forward_with_pred_jitter,
+            )
+            loss, metrics = get_labeled_loss(ep, batch, cfg, num_labeled)
+            return loss, (metrics, mut["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.999,
+                  obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
+                  nms_iou=0.25, use_lhs=True, samecls_match=False,
+                  dataset="scannet", weight_decay=0.0):
+    """Mean-teacher SSL step (train.py:305-371): teacher forward on the
+    unaugmented EMA view, student forward on the augmented view, labeled +
+    weighted unlabeled loss, Adam, then the EMA parameter update with warmup
+    alpha = min(1 - 1/(step+1), ema_decay)."""
+    tx = make_optimizer(weight_decay)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng, lr, bn_momentum):
+        t_rng, s_rng = jax.random.split(rng)
+
+        # Teacher forward (no gradient). The reference keeps the teacher in
+        # train mode — its BN normalizes by (and updates) its own batch
+        # statistics; only parameters are EMA'd (train.py:334-335, 285-289).
+        ema_ep, ema_mut = model.apply(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            batch["ema_point_clouds"], t_rng, train=True, momentum=bn_momentum,
+            mutable=["batch_stats"],
+            method=model.forward_with_pred_jitter,
+        )
+        ema_ep = jax.lax.stop_gradient(ema_ep)
+
+        def loss_fn(params):
+            ep, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["point_clouds"], s_rng, train=True, momentum=bn_momentum,
+                mutable=["batch_stats"],
+                method=model.forward_with_pred_jitter,
+            )
+            sup_loss, m1 = get_labeled_loss(ep, batch, cfg, num_labeled)
+            unsup_loss, m2 = get_unlabeled_loss(
+                ep, ema_ep, batch, cfg, num_labeled,
+                obj_threshold=obj_threshold, cls_threshold=cls_threshold,
+                iou_threshold=iou_threshold, nms_iou=nms_iou, use_lhs=use_lhs,
+                samecls_match=samecls_match, dataset=dataset,
+            )
+            loss = sup_loss + unlabeled_weight * unsup_loss
+            m1.update(m2)
+            m1["supervised_loss"] = sup_loss
+            m1["unsupervised_loss"] = unsup_loss
+            return loss, (m1, mut["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        global_step = state.step
+        alpha = jnp.minimum(
+            1.0 - 1.0 / (global_step.astype(jnp.float32) + 1.0), ema_decay
+        )
+        new_ema = ema_update(state.ema_params, new_params, alpha)
+
+        metrics["loss"] = loss
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            ema_params=new_ema, ema_batch_stats=ema_mut["batch_stats"],
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_forward(model, cfg, use_ema=False):
+    """Jitted eval forward: end_points + eval-path loss metrics
+    (evaluate_one_epoch, train.py:378-428). Returns the arrays the host-side
+    AP pipeline consumes."""
+
+    @jax.jit
+    def forward(state: TrainState, batch):
+        params = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        ep = model.apply(
+            {"params": params, "batch_stats": bs},
+            batch["point_clouds"], train=False,
+        )
+        loss, metrics = get_loss(ep, batch, cfg)
+        keep = (
+            "center", "heading_scores", "heading_residuals", "size_scores",
+            "size_residuals", "sem_cls_scores", "objectness_scores",
+            "iou_scores", "size", "heading", "seed_xyz", "seed_features",
+            "vote_xyz", "vote_features", "aggregated_vote_xyz",
+        )
+        out = {k: ep[k] for k in keep if k in ep}
+        return out, metrics
+
+    return forward

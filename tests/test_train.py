@@ -1,0 +1,143 @@
+"""Train-step tests: pretrain step, SSL step (teacher+student+EMA),
+checkpoint round-trip, multi-chip data-parallel execution on a CPU mesh."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iou3dmatch_tpu.models.factory import build_votenet
+from iou3dmatch_tpu.train import (
+    create_train_state, make_pretrain_step, make_ssl_step, make_eval_forward,
+    checkpoint, get_lr, get_bn_momentum,
+)
+from iou3dmatch_tpu.parallel import make_mesh, shard_batch, replicate
+
+N_POINTS = 256
+G = 4
+
+
+def _labels(rng, cfg, b):
+    mask = np.ones((b, G), np.float32)
+    mask[:, -1] = 0
+    return {
+        "center_label": jnp.asarray(rng.uniform(-2, 2, (b, G, 3)).astype(np.float32)),
+        "box_label_mask": jnp.asarray(mask),
+        "heading_class_label": jnp.zeros((b, G), jnp.int32),
+        "heading_residual_label": jnp.zeros((b, G), jnp.float32),
+        "size_class_label": jnp.asarray(rng.randint(0, cfg.num_size_cluster, (b, G))),
+        "size_residual_label": jnp.asarray(rng.uniform(-0.05, 0.05, (b, G, 3)).astype(np.float32)),
+        "sem_cls_label": jnp.asarray(rng.randint(0, cfg.num_class, (b, G))),
+        "vote_label": jnp.asarray(rng.randn(b, N_POINTS, 9).astype(np.float32) * 0.1),
+        "vote_label_mask": jnp.asarray(rng.randint(0, 2, (b, N_POINTS)).astype(np.int32)),
+    }
+
+
+def _pretrain_batch(rng, cfg, b=2):
+    batch = _labels(rng, cfg, b)
+    batch["point_clouds"] = jnp.asarray(rng.randn(b, N_POINTS, 4).astype(np.float32))
+    return batch
+
+
+def _ssl_batch(rng, cfg, bl=1, bu=1):
+    b = bl + bu
+    batch = _labels(rng, cfg, bl)
+    batch["point_clouds"] = jnp.asarray(rng.randn(b, N_POINTS, 4).astype(np.float32))
+    batch["ema_point_clouds"] = jnp.asarray(rng.randn(b, N_POINTS, 4).astype(np.float32))
+    batch["flip_x_axis"] = jnp.asarray(rng.randint(0, 2, (b,)))
+    batch["flip_y_axis"] = jnp.asarray(rng.randint(0, 2, (b,)))
+    batch["rot_mat"] = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, 1, 1)))
+    batch["rot_angle"] = jnp.zeros((b,), jnp.float32)
+    batch["scale"] = jnp.ones((b, 1, 3), jnp.float32)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, cfg = build_votenet("scannet", tiny=True)
+    rng = np.random.RandomState(0)
+    batch = _pretrain_batch(rng, cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, with_ema=True)
+    return model, cfg, state, batch
+
+
+def test_schedules():
+    assert get_lr(0, 1e-3, [400, 600, 800], [0.1, 0.1, 0.1]) == 1e-3
+    assert abs(get_lr(650, 1e-3, [400, 600, 800], [0.1, 0.1, 0.1]) - 1e-5) < 1e-12
+    assert get_bn_momentum(0) == 0.5
+    assert get_bn_momentum(20) == 0.25
+    assert get_bn_momentum(10000) == 0.001
+
+
+def test_pretrain_step_updates(setup):
+    model, cfg, state, batch = setup
+    step = make_pretrain_step(model, cfg)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1), 1e-3, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    # params moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
+    assert max(jax.tree.leaves(d)) > 0
+    assert int(new_state.step) == 1
+
+
+def test_ssl_step(setup):
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(1)
+    batch = _ssl_batch(rng, cfg)
+    step = make_ssl_step(model, cfg, num_labeled=1)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2), 2e-3, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "unlabeled_detection_loss" in metrics
+    # EMA moved toward student (alpha=0 at step 0 -> ema == new params)
+    diff = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()), new_state.ema_params, new_state.params
+    )
+    assert max(jax.tree.leaves(diff)) < 1e-6  # step 0: alpha=min(1-1/1, .999)=0
+
+
+def test_eval_forward(setup):
+    model, cfg, state, batch = setup
+    fwd = make_eval_forward(model, cfg)
+    out, metrics = fwd(state, batch)
+    assert np.isfinite(float(metrics["detection_loss"]))
+    assert out["center"].shape[0] == batch["point_clouds"].shape[0]
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, cfg, state, batch = setup
+    path = str(tmp_path / "ckpt.msgpack")
+    checkpoint.save(path, state, epoch=7, loss=1.25)
+    restored, epoch, loss = checkpoint.load(path, state)
+    assert epoch == 7 and abs(loss - 1.25) < 1e-9
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pretrain -> SSL load: both student and teacher get the weights
+    ssl = checkpoint.load_pretrain_into_ssl(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ssl.ema_params)[0]), np.asarray(a)
+    )
+
+
+def test_multichip_ssl_step(setup):
+    """Full SSL train step sharded over the 8-device CPU mesh."""
+    model, cfg, state, _ = setup
+    n = jax.device_count()
+    assert n == 8, f"expected 8 virtual devices, got {n}"
+    rng = np.random.RandomState(2)
+    batch = _ssl_batch(rng, cfg, bl=8, bu=16)
+
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    step = make_ssl_step(model, cfg, num_labeled=8)
+    new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(3), 2e-3, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # single-device reference: same batch unsharded must agree closely
+    new_state1, metrics1 = step(state, batch, jax.random.PRNGKey(3), 2e-3, 0.5)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
+    )
