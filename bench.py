@@ -1,0 +1,105 @@
+"""Headline benchmark: SSL (mean-teacher) training-step throughput.
+
+Measures scenes/sec/chip for the full teacher+student 3DIoUMatch step — the
+metric named in BASELINE.json — at the reference training configuration
+(train.py:47-48 of the reference): batch 4 labeled + 8 unlabeled scenes,
+full-size VoteNet-IoU, 40k points/scene on ScanNet geometry.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scenes/s", "vs_baseline": N}
+
+``vs_baseline`` divides by an ESTIMATED reference throughput of 20
+scenes/sec: the reference publishes no timing numbers anywhere
+(SURVEY.md §6); 20/s corresponds to ~0.6 s per 12-scene SSL step on a
+V100, a mid-range estimate for VoteNet teacher+student at 40k points.
+Treat it as a fixed yardstick for round-over-round comparison, not ground
+truth.
+
+Env overrides: BENCH_POINTS, BENCH_LABELED, BENCH_UNLABELED, BENCH_STEPS.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 20.0
+
+
+def make_batch(rng, cfg, bl, bu, n_points, n_gt=16):
+    import jax.numpy as jnp
+
+    b = bl + bu
+    mask = np.ones((bl, n_gt), np.float32)
+    batch = {
+        "point_clouds": jnp.asarray(rng.randn(b, n_points, 4).astype(np.float32)),
+        "ema_point_clouds": jnp.asarray(rng.randn(b, n_points, 4).astype(np.float32)),
+        "center_label": jnp.asarray(rng.uniform(-2, 2, (bl, n_gt, 3)).astype(np.float32)),
+        "box_label_mask": jnp.asarray(mask),
+        "heading_class_label": jnp.zeros((bl, n_gt), jnp.int32),
+        "heading_residual_label": jnp.zeros((bl, n_gt), jnp.float32),
+        "size_class_label": jnp.asarray(rng.randint(0, cfg.num_size_cluster, (bl, n_gt))),
+        "size_residual_label": jnp.asarray(
+            rng.uniform(-0.05, 0.05, (bl, n_gt, 3)).astype(np.float32)
+        ),
+        "sem_cls_label": jnp.asarray(rng.randint(0, cfg.num_class, (bl, n_gt))),
+        "vote_label": jnp.asarray(rng.randn(bl, n_points, 9).astype(np.float32) * 0.1),
+        "vote_label_mask": jnp.asarray(rng.randint(0, 2, (bl, n_points)).astype(np.int32)),
+        "flip_x_axis": jnp.asarray(rng.randint(0, 2, (b,))),
+        "flip_y_axis": jnp.asarray(rng.randint(0, 2, (b,))),
+        "rot_mat": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))),
+        "rot_angle": jnp.zeros((b,), jnp.float32),
+        "scale": jnp.ones((b, 1, 3), jnp.float32),
+    }
+    return batch
+
+
+def main():
+    import jax
+
+    # sitecustomize in this image bakes JAX_PLATFORMS=axon in at interpreter
+    # start, so a JAX_PLATFORMS=cpu env var alone is ignored; honor an
+    # explicit BENCH_PLATFORM override via jax.config before backend init.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    platform = jax.devices()[0].platform
+    on_accel = platform in ("tpu", "gpu")
+    n_points = int(os.environ.get("BENCH_POINTS", 40000 if on_accel else 2048))
+    bl = int(os.environ.get("BENCH_LABELED", 4 if on_accel else 1))
+    bu = int(os.environ.get("BENCH_UNLABELED", 8 if on_accel else 2))
+    n_steps = int(os.environ.get("BENCH_STEPS", 10 if on_accel else 2))
+
+    from iou3dmatch_tpu.models.factory import build_votenet
+    from iou3dmatch_tpu.train import create_train_state, make_ssl_step
+
+    tiny = not on_accel
+    model, cfg = build_votenet("scannet", tiny=tiny)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, cfg, bl, bu, n_points)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, with_ema=True)
+    step = make_ssl_step(model, cfg, num_labeled=bl)
+
+    key = jax.random.PRNGKey(1)
+    # Warmup: compile + one steady-state step.
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i), 2e-3, 0.5)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i), 2e-3, 0.5)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = (bl + bu) * n_steps / dt
+    print(json.dumps({
+        "metric": f"ssl_step_scenes_per_sec[{platform},{n_points}pts,b{bl}+{bu}]",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
