@@ -1,0 +1,157 @@
+"""Stage-1 supervised pretraining driver.
+
+TPU-native counterpart of the reference `pretrain.py` (flags :41-70, train
+loop :310-406): same flag surface, schedules, log/checkpoint layout; the
+per-batch work is ONE jitted XLA program (forward + jittered IoU branch +
+labeled loss + Adam) instead of eager torch ops.
+
+Run: python -m iou3dmatch_tpu.cli.pretrain --dataset scannet \
+         --labeled_sample_list scannetv2_train_0.1.txt --log_dir log_scannet
+Smoke (no data on disk): add --synthetic.
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="scannet", choices=["scannet", "sunrgbd"])
+    p.add_argument("--log_dir", default="log_pretrain")
+    p.add_argument("--data_path", default=None, help="root holding the dataset dumps")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--labeled_sample_list", default=None)
+    p.add_argument("--num_point", type=int, default=40000)
+    p.add_argument("--num_target", type=int, default=128)
+    p.add_argument("--cluster_sampling", default="seed_fps",
+                   choices=["vote_fps", "seed_fps", "random"])
+    p.add_argument("--max_epoch", type=int, default=901)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--lr_decay_steps", default="400,600,800")
+    p.add_argument("--lr_decay_rates", default="0.1,0.1,0.1")
+    p.add_argument("--bn_decay_step", type=int, default=20)
+    p.add_argument("--bn_decay_rate", type=float, default=0.5)
+    p.add_argument("--no_height", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--ap_iou_thresh", type=float, default=0.25)
+    p.add_argument("--eval_interval", type=int, default=50)
+    p.add_argument("--save_interval", type=int, default=200)
+    p.add_argument("--print_interval", type=int, default=10)
+    p.add_argument("--use_iou_for_nms", action="store_true")
+    p.add_argument("--dump_results", action="store_true")
+    p.add_argument("--eval", action="store_true", help="evaluate only, no training")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated scenes (no dataset dumps needed)")
+    p.add_argument("--synthetic_scenes", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true", help="tiny backbone (CI smoke)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu); needed because this "
+                        "image pins JAX_PLATFORMS at interpreter start")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..data.loader import DataLoader, prefetch
+    from ..models.factory import build_votenet
+    from ..train import (checkpoint, create_train_state, get_bn_momentum,
+                         get_lr, make_eval_forward, make_pretrain_step)
+    from ..utils import Logger, Visualizer
+    from .common import (MetricAverager, build_supervised_datasets, evaluate,
+                         make_config_dict)
+
+    logger = Logger(args.log_dir)
+    logger(str(args))
+    lr_steps = [int(x) for x in args.lr_decay_steps.split(",")]
+    lr_rates = [float(x) for x in args.lr_decay_rates.split(",")]
+
+    train_ds, eval_ds, cfg = build_supervised_datasets(args)
+    logger(f"train scenes: {len(train_ds)}  eval scenes: {len(eval_ds)}")
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              num_workers=args.num_workers, seed=args.seed)
+    eval_loader = DataLoader(eval_ds, args.batch_size, shuffle=False,
+                             drop_last=False, num_workers=args.num_workers)
+
+    model, _ = build_votenet(
+        args.dataset, num_proposal=args.num_target,
+        input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
+        sampling=args.cluster_sampling, tiny=args.tiny)
+    example = next(iter(DataLoader(train_ds, 1, shuffle=False, num_workers=1)))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
+                               weight_decay=args.weight_decay)
+
+    start_epoch = 0
+    ckpt_path = args.checkpoint_path or os.path.join(args.log_dir, "checkpoint.tar")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_epoch, _ = checkpoint.load(ckpt_path, state)
+        logger(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    elif args.checkpoint_path and os.path.exists(args.checkpoint_path):
+        state, _, _ = checkpoint.load(args.checkpoint_path, state)
+        logger(f"loaded weights from {args.checkpoint_path}")
+
+    step_fn = make_pretrain_step(model, cfg, weight_decay=args.weight_decay)
+    eval_forward = make_eval_forward(model, cfg)
+    config_dict = make_config_dict(cfg, args)
+    viz_train = Visualizer(args.log_dir, "train")
+    viz_eval = Visualizer(args.log_dir, "eval")
+
+    if args.eval:
+        evaluate(model, cfg, state, eval_loader, config_dict, logger,
+                 eval_forward, (0.25, 0.5),
+                 dump_dir=os.path.join(args.log_dir, "dump") if args.dump_results else None)
+        return
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best_map_sum = -1.0
+    global_step = int(state.step)
+    for epoch in range(start_epoch, args.max_epoch):
+        lr = get_lr(epoch, args.learning_rate, lr_steps, lr_rates)
+        bn_mom = get_bn_momentum(epoch, args.bn_decay_step, args.bn_decay_rate)
+        logger(f"**** EPOCH {epoch:03d} ****  lr {lr:.6f}  bn_momentum {bn_mom:.4f}")
+        averager = MetricAverager()
+        t0 = time.time()
+        for bi, batch in enumerate(prefetch(iter(train_loader))):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
+            averager.update(metrics)
+            global_step += 1
+            if (bi + 1) % args.print_interval == 0:
+                means = averager.means()
+                logger(f" batch {bi + 1:04d} " + " ".join(
+                    f"{k}: {v:.4f}" for k, v in sorted(means.items())
+                    if "loss" in k or "acc" in k or "ratio" in k))
+                viz_train.log_scalars(means, global_step)
+                averager.reset()
+        logger(f"epoch time: {time.time() - t0:.1f}s")
+
+        checkpoint.save(ckpt_path, state, epoch + 1)
+        if (epoch + 1) % args.save_interval == 0:
+            checkpoint.save(os.path.join(args.log_dir, f"checkpoint_{epoch + 1}.tar"),
+                            state, epoch + 1)
+        if args.eval_interval > 0 and (epoch + 1) % args.eval_interval == 0:
+            _, ap_results, map_sum = evaluate(
+                model, cfg, state, eval_loader, config_dict, logger,
+                eval_forward, (0.25, 0.5))
+            viz_eval.log_scalars(
+                {f"mAP_{t}": m["mAP"] for t, m in ap_results.items()}, global_step)
+            if map_sum > best_map_sum:
+                best_map_sum = map_sum
+                checkpoint.save(os.path.join(args.log_dir, "best_checkpoint_sum.tar"),
+                                state, epoch + 1, loss=map_sum)
+                logger.log_best(f"epoch {epoch + 1}: mAP sum {map_sum:.4f}")
+
+
+if __name__ == "__main__":
+    main()

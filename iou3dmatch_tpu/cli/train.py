@@ -1,0 +1,181 @@
+"""Stage-2 SSL (3DIoUMatch) training / evaluation driver.
+
+TPU-native counterpart of the reference `train.py` (flags :31-71, SSL loop
+:305-371, eval :378-535): mean-teacher training with IoU-filtered
+pseudo-labels. Teacher forward, student forward, labeled + unlabeled losses,
+Adam, and the EMA update compile into ONE jitted XLA program; the
+pseudo-label filter/LHS runs on-device with fixed shapes instead of the
+reference's host round-trip (loss_helper_unlabeled.py:441-490).
+
+Run:  python -m iou3dmatch_tpu.cli.train --dataset scannet \
+          --labeled_sample_list scannetv2_train_0.1.txt \
+          --detector_checkpoint log_pretrain/best_checkpoint_sum.tar
+Eval: add --eval --use_iou_for_nms  (and --opt_step 10 --opt_rate R for
+      test-time IoU optimization, run_eval_opt.sh).
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="scannet", choices=["scannet", "sunrgbd"])
+    p.add_argument("--log_dir", default="log_ssl")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--detector_checkpoint", default=None,
+                   help="stage-1 checkpoint loaded into student AND teacher")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--labeled_sample_list", default=None)
+    p.add_argument("--num_point", type=int, default=40000)
+    p.add_argument("--num_target", type=int, default=128)
+    p.add_argument("--cluster_sampling", default="seed_fps")
+    p.add_argument("--max_epoch", type=int, default=1001)
+    p.add_argument("--batch_size", default="4,8",
+                   help="labeled,unlabeled scenes per step (train.py:47-48)")
+    p.add_argument("--learning_rate", type=float, default=2e-3)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--lr_decay_steps", default="400,600,800,900")
+    p.add_argument("--lr_decay_rates", default="0.3,0.3,0.1,0.1")
+    p.add_argument("--bn_decay_step", type=int, default=20)
+    p.add_argument("--bn_decay_rate", type=float, default=0.5)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--unlabeled_loss_weight", type=float, default=2.0)
+    p.add_argument("--obj_threshold", type=float, default=0.9)
+    p.add_argument("--cls_threshold", type=float, default=0.9)
+    p.add_argument("--iou_threshold", type=float, default=0.25)
+    p.add_argument("--no_height", action="store_true")
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--eval_interval", type=int, default=25)
+    p.add_argument("--save_interval", type=int, default=200)
+    p.add_argument("--print_interval", type=int, default=10)
+    p.add_argument("--use_iou_for_nms", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_use_ema", action="store_true",
+                   help="evaluate the EMA teacher instead of the student")
+    p.add_argument("--opt_step", type=int, default=0)
+    p.add_argument("--opt_rate", type=float, default=0.01)
+    p.add_argument("--dump_results", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_scenes", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu); needed because this "
+                        "image pins JAX_PLATFORMS at interpreter start")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..data.loader import DataLoader, SSLBatcher, prefetch
+    from ..models.factory import build_votenet
+    from ..train import (checkpoint, create_train_state, get_bn_momentum,
+                         get_lr, make_eval_forward, make_ssl_step)
+    from ..utils import Logger, Visualizer
+    from .common import (MetricAverager, build_ssl_datasets, evaluate,
+                         make_config_dict)
+
+    logger = Logger(args.log_dir)
+    logger(str(args))
+    bl, bu = [int(x) for x in args.batch_size.split(",")]
+    lr_steps = [int(x) for x in args.lr_decay_steps.split(",")]
+    lr_rates = [float(x) for x in args.lr_decay_rates.split(",")]
+
+    labeled_ds, unlabeled_ds, eval_ds, cfg = build_ssl_datasets(args)
+    logger(f"labeled {len(labeled_ds)} unlabeled {len(unlabeled_ds)} eval {len(eval_ds)}")
+    labeled_loader = DataLoader(labeled_ds, bl, shuffle=True,
+                                num_workers=args.num_workers, seed=args.seed)
+    unlabeled_loader = DataLoader(unlabeled_ds, bu, shuffle=True,
+                                  num_workers=args.num_workers, seed=args.seed + 1)
+    ssl_loader = SSLBatcher(labeled_loader, unlabeled_loader)
+    eval_loader = DataLoader(eval_ds, bl + bu, shuffle=False, drop_last=False,
+                             num_workers=args.num_workers)
+
+    model, _ = build_votenet(
+        args.dataset, num_proposal=args.num_target,
+        input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
+        sampling=args.cluster_sampling, tiny=args.tiny)
+    example = next(iter(DataLoader(labeled_ds, 1, shuffle=False, num_workers=1)))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
+                               with_ema=True, weight_decay=args.weight_decay)
+
+    start_epoch = 0
+    ckpt_path = os.path.join(args.log_dir, "checkpoint.tar")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_epoch, _ = checkpoint.load(ckpt_path, state)
+        logger(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    elif args.detector_checkpoint:
+        # Pretrain weights go into BOTH student and EMA teacher
+        # (train.py:204-228 of the reference).
+        state = checkpoint.load_pretrain_into_ssl(args.detector_checkpoint, state)
+        logger(f"loaded pretrain weights from {args.detector_checkpoint}")
+
+    step_fn = make_ssl_step(
+        model, cfg, num_labeled=bl, unlabeled_weight=args.unlabeled_loss_weight,
+        ema_decay=args.ema_decay, obj_threshold=args.obj_threshold,
+        cls_threshold=args.cls_threshold, iou_threshold=args.iou_threshold,
+        dataset=args.dataset, weight_decay=args.weight_decay)
+    eval_forward = make_eval_forward(model, cfg, use_ema=args.eval_use_ema)
+    eval_forward.use_ema = args.eval_use_ema
+    config_dict = make_config_dict(cfg, args)
+    viz_train = Visualizer(args.log_dir, "train")
+    viz_eval = Visualizer(args.log_dir, "eval")
+
+    if args.eval:
+        evaluate(model, cfg, state, eval_loader, config_dict, logger,
+                 eval_forward, (0.25, 0.5),
+                 opt_rate=args.opt_rate, opt_step=args.opt_step,
+                 dump_dir=os.path.join(args.log_dir, "dump") if args.dump_results else None)
+        return
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    best_map_sum = -1.0
+    global_step = int(state.step)
+    for epoch in range(start_epoch, args.max_epoch):
+        lr = get_lr(epoch, args.learning_rate, lr_steps, lr_rates)
+        bn_mom = get_bn_momentum(epoch, args.bn_decay_step, args.bn_decay_rate)
+        logger(f"**** EPOCH {epoch:03d} ****  lr {lr:.6f}  bn_momentum {bn_mom:.4f}")
+        averager = MetricAverager()
+        t0 = time.time()
+        for bi, batch in enumerate(prefetch(iter(ssl_loader))):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
+            averager.update(metrics)
+            global_step += 1
+            if (bi + 1) % args.print_interval == 0:
+                means = averager.means()
+                logger(f" batch {bi + 1:04d} " + " ".join(
+                    f"{k}: {v:.4f}" for k, v in sorted(means.items())
+                    if "loss" in k or "acc" in k or "ratio" in k))
+                viz_train.log_scalars(means, global_step)
+                averager.reset()
+        logger(f"epoch time: {time.time() - t0:.1f}s")
+
+        checkpoint.save(ckpt_path, state, epoch + 1)
+        if (epoch + 1) % args.save_interval == 0:
+            checkpoint.save(os.path.join(args.log_dir, f"checkpoint_{epoch + 1}.tar"),
+                            state, epoch + 1)
+        if args.eval_interval > 0 and (epoch + 1) % args.eval_interval == 0:
+            _, ap_results, map_sum = evaluate(
+                model, cfg, state, eval_loader, config_dict, logger,
+                eval_forward, (0.25, 0.5))
+            viz_eval.log_scalars(
+                {f"mAP_{t}": m["mAP"] for t, m in ap_results.items()}, global_step)
+            if map_sum > best_map_sum:
+                best_map_sum = map_sum
+                checkpoint.save(os.path.join(args.log_dir, "best_checkpoint_sum.tar"),
+                                state, epoch + 1, loss=map_sum)
+                logger.log_best(f"epoch {epoch + 1}: mAP sum {map_sum:.4f}")
+
+
+if __name__ == "__main__":
+    main()

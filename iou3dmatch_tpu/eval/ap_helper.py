@@ -170,7 +170,10 @@ def parse_groundtruths(batch, config_dict):
 class APCalculator:
     """AP accumulator (ap_helper.py:382-435)."""
 
-    def __init__(self, ap_iou_thresh=0.25, class2type_map=None, processes=10):
+    def __init__(self, ap_iou_thresh=0.25, class2type_map=None, processes=1):
+        # processes=1 (serial) by default: worker processes re-run this
+        # image's sitecustomize, which initializes the TPU backend and can
+        # hang; the reference's 10-proc pool (ap_helper.py:430) is opt-in.
         self.ap_iou_thresh = ap_iou_thresh
         self.class2type_map = class2type_map
         self.processes = processes

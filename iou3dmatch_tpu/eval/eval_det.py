@@ -88,7 +88,10 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_
 
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
-    rec = tp / float(npos)
+    # npos == 0 (class predicted but absent from GT) divides 0/0 in the
+    # reference (eval_det.py:135); guard to rec=0 so small eval subsets do
+    # not poison the mAP mean. Identical on full val sets where npos > 0.
+    rec = tp / float(npos) if npos > 0 else np.zeros_like(tp)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     ap = voc_ap(rec, prec, use_07_metric)
     return rec, prec, ap
@@ -128,15 +131,24 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
 
 def eval_det_multiprocessing(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
                              get_iou_func=get_iou_obb, processes=10):
-    """Pool over classes (eval_det.py:215-261)."""
+    """Pool over classes (eval_det.py:215-261).
+
+    Uses a spawn-context pool: fork() under a live (multithreaded) JAX
+    runtime can deadlock the child. processes<=1 runs serially.
+    """
     pred, gt = _regroup(pred_all, gt_all)
     rec, prec, ap = {}, {}, {}
     args = [
         (pred[c], gt[c], ovthresh, use_07_metric, get_iou_func)
         for c in gt.keys() if c in pred
     ]
-    with Pool(processes=processes) as p:
-        ret = p.map(_eval_cls_wrapper, args)
+    if processes <= 1:
+        ret = [_eval_cls_wrapper(a) for a in args]
+    else:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(processes=processes) as p:
+            ret = p.map(_eval_cls_wrapper, args)
     i = 0
     for classname in gt.keys():
         if classname in pred:
