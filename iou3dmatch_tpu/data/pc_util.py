@@ -7,11 +7,12 @@ replacement iff the cloud has fewer points than requested) and `:287-321`
 import numpy as np
 
 
-def random_sampling(pc, num_sample, replace=None, return_choices=False):
+def random_sampling(pc, num_sample, replace=None, return_choices=False, rng=None):
     """pc: (N, C) -> (num_sample, C)."""
     if replace is None:
         replace = pc.shape[0] < num_sample
-    choices = np.random.choice(pc.shape[0], num_sample, replace=replace)
+    rng = rng if rng is not None else np.random
+    choices = rng.choice(pc.shape[0], num_sample, replace=replace)
     if return_choices:
         return pc[choices], choices
     return pc[choices]
