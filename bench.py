@@ -81,15 +81,17 @@ def main():
     step = make_ssl_step(model, cfg, num_labeled=bl)
 
     key = jax.random.PRNGKey(1)
-    # Warmup: compile + one steady-state step.
+    # Warmup: compile + one steady-state step. float() forces a device->host
+    # transfer: on the tunneled TPU platform block_until_ready alone does not
+    # reliably wait for queued computations.
     for i in range(2):
         state, metrics = step(state, batch, jax.random.fold_in(key, i), 2e-3, 0.5)
-    jax.block_until_ready(state.params)
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i), 2e-3, 0.5)
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])  # sync the full chain
     dt = time.perf_counter() - t0
 
     scenes_per_sec = (bl + bu) * n_steps / dt

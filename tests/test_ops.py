@@ -98,3 +98,19 @@ def test_gather_and_group():
     gout = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(gidx)))
     for b in range(2):
         np.testing.assert_array_equal(gout[b], feats[b][gidx[b]])
+
+
+def test_fps_pallas_matches_xla():
+    """Pallas kernel (interpret mode on CPU) must match the XLA FPS exactly,
+    including the zero-point skip and first-occurrence tie-break."""
+    from iou3dmatch_tpu.ops.fps import furthest_point_sample
+    from iou3dmatch_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+    rng = np.random.RandomState(7)
+    xyz = rng.randn(2, 700, 3).astype(np.float32)
+    xyz[:, rng.choice(700, 70, replace=False)] = 0.0
+    ref = np.asarray(furthest_point_sample(jnp.asarray(xyz), 96))
+    pal = np.asarray(
+        furthest_point_sample_pallas(jnp.asarray(xyz), 96, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, pal)
