@@ -83,11 +83,13 @@ def build_supervised_datasets(args):
 def build_ssl_datasets(args):
     """(labeled_ds, unlabeled_ds, eval_ds, cfg) for stage 2."""
     cfg = get_config(args.dataset)
+    load_labels = bool(getattr(args, "view_stats", False))
     if getattr(args, "synthetic", False):
         labeled = SyntheticDataset(args.dataset, num_scenes=args.synthetic_scenes,
                                    num_points=args.num_point, ssl=True, labeled=True, seed=1)
         unlabeled = SyntheticDataset(args.dataset, num_scenes=args.synthetic_scenes * 2,
-                                     num_points=args.num_point, ssl=True, labeled=False, seed=3)
+                                     num_points=args.num_point, ssl=True, labeled=False,
+                                     seed=3, load_labels=load_labels)
         eval_ds = SyntheticDataset(args.dataset, num_scenes=max(args.synthetic_scenes // 4, 2),
                                    num_points=args.num_point, seed=2)
         return labeled, unlabeled, eval_ds, cfg
@@ -105,7 +107,7 @@ def build_ssl_datasets(args):
         unlabeled = ScannetSSLUnlabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
             num_points=args.num_point, use_height=not args.no_height,
-            use_color=args.use_color)
+            use_color=args.use_color, load_labels=load_labels)
         eval_ds = ScannetDetectionDataset(
             data_path, split_dir, "val", num_points=args.num_point,
             augment=False, use_height=not args.no_height, use_color=args.use_color)
@@ -123,7 +125,7 @@ def build_ssl_datasets(args):
         unlabeled = SunrgbdSSLUnlabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
             num_points=args.num_point, use_height=not args.no_height,
-            use_color=args.use_color)
+            use_color=args.use_color, load_labels=load_labels)
         eval_data_path = _data_root(args, "sunrgbd_pc_bbox_votes_50k_v1_val")
         eval_ds = SunrgbdDetectionVotesDataset(
             eval_data_path, num_points=args.num_point, augment=False,

@@ -131,7 +131,7 @@ def main(argv=None):
                 means = averager.means()
                 logger(f" batch {bi + 1:04d} " + " ".join(
                     f"{k}: {v:.4f}" for k, v in sorted(means.items())
-                    if "loss" in k or "acc" in k or "ratio" in k))
+                    if "loss" in k or "acc" in k or "ratio" in k or "value" in k))
                 viz_train.log_scalars(means, global_step)
                 averager.reset()
         logger(f"epoch time: {time.time() - t0:.1f}s")

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--opt_step", type=int, default=0)
     p.add_argument("--opt_rate", type=float, default=0.01)
     p.add_argument("--dump_results", action="store_true")
+    p.add_argument("--view_stats", action="store_true",
+                   help="load real labels of unlabeled scans and report "
+                        "pseudo-label quality metrics (diagnostics only)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_scenes", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=4)
@@ -123,7 +126,8 @@ def main(argv=None):
         model, cfg, num_labeled=bl, unlabeled_weight=args.unlabeled_loss_weight,
         ema_decay=args.ema_decay, obj_threshold=args.obj_threshold,
         cls_threshold=args.cls_threshold, iou_threshold=args.iou_threshold,
-        dataset=args.dataset, weight_decay=args.weight_decay)
+        dataset=args.dataset, weight_decay=args.weight_decay,
+        view_stats=args.view_stats)
     eval_forward = make_eval_forward(model, cfg, use_ema=args.eval_use_ema)
     eval_forward.use_ema = args.eval_use_ema
     config_dict = make_config_dict(cfg, args)
@@ -155,7 +159,7 @@ def main(argv=None):
                 means = averager.means()
                 logger(f" batch {bi + 1:04d} " + " ".join(
                     f"{k}: {v:.4f}" for k, v in sorted(means.items())
-                    if "loss" in k or "acc" in k or "ratio" in k))
+                    if "loss" in k or "acc" in k or "ratio" in k or "value" in k))
                 viz_train.log_scalars(means, global_step)
                 averager.reset()
         logger(f"epoch time: {time.time() - t0:.1f}s")

@@ -275,7 +275,9 @@ class ScannetSSLUnlabeledDataset:
     scans minus the labeled list; student view augmented, teacher view raw."""
 
     def __init__(self, data_path, split_dir, labeled_sample_list,
-                 num_points=20000, use_color=False, use_height=False, augment=True):
+                 num_points=20000, use_color=False, use_height=False, augment=True,
+                 load_labels=False):
+        self.load_labels = load_labels  # raw-frame GT for --view_stats
         self.data_path = data_path
         all_scan_names = set(
             os.path.basename(x)[0:12]
@@ -317,7 +319,7 @@ class ScannetSSLUnlabeledDataset:
                 point_cloud, None, self.use_height, flip_points_only=True
             )
 
-        return {
+        ret = {
             "ema_point_clouds": ema_point_cloud.astype(np.float32),
             "point_clouds": point_cloud.astype(np.float32),
             "flip_x_axis": np.array(flip_x_axis).astype(np.int64),
@@ -328,3 +330,24 @@ class ScannetSSLUnlabeledDataset:
             "scan_idx": np.array(idx).astype(np.int64),
             "supervised_mask": np.array(0).astype(np.int64),
         }
+        if self.load_labels:
+            # RAW-frame GT (view-stats diagnostics,
+            # scannet_ssl_dataset.py:272-279 of the reference)
+            instance_bboxes = np.load(
+                os.path.join(self.data_path, scan_name) + "_bbox.npy")
+            target_bboxes = np.zeros((MAX_NUM_OBJ, 6))
+            mask = np.zeros(MAX_NUM_OBJ)
+            nb = instance_bboxes.shape[0]
+            mask[:nb] = 1
+            target_bboxes[:nb] = instance_bboxes[:, 0:6]
+            scls, sres, semcls, _ = _box_labels(instance_bboxes, target_bboxes)
+            ret.update({
+                "center_label": target_bboxes.astype(np.float32)[:, 0:3],
+                "box_label_mask": mask.astype(np.float32),
+                "heading_class_label": np.zeros(MAX_NUM_OBJ, np.int64),
+                "heading_residual_label": np.zeros(MAX_NUM_OBJ, np.float32),
+                "size_class_label": scls.astype(np.int64),
+                "size_residual_label": sres.astype(np.float32),
+                "sem_cls_label": semcls.astype(np.int64),
+            })
+        return ret

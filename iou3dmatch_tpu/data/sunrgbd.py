@@ -226,7 +226,9 @@ class SunrgbdSSLUnlabeledDataset:
     rotation + scale; flip_y_axis always 0."""
 
     def __init__(self, data_path, split_dir, labeled_sample_list,
-                 num_points=20000, use_color=False, use_height=False, augment=True):
+                 num_points=20000, use_color=False, use_height=False, augment=True,
+                 load_labels=False):
+        self.load_labels = load_labels  # raw-frame GT for --view_stats
         self.data_path = data_path
         all_names = sorted(set(
             os.path.basename(x)[0:6] for x in os.listdir(data_path)
@@ -264,7 +266,7 @@ class SunrgbdSSLUnlabeledDataset:
         point_cloud, _ = random_sampling(
             point_cloud, self.num_points, return_choices=True
         )
-        return {
+        ret = {
             "ema_point_clouds": ema_point_cloud.astype(np.float32),
             "point_clouds": point_cloud.astype(np.float32),
             "flip_x_axis": np.array(flip_x_axis).astype(np.int64),
@@ -275,3 +277,17 @@ class SunrgbdSSLUnlabeledDataset:
             "scan_idx": np.array(idx).astype(np.int64),
             "supervised_mask": np.array(0).astype(np.int64),
         }
+        if self.load_labels:
+            # RAW-frame GT (view-stats diagnostics,
+            # sunrgbd_ssl_dataset.py:238-247 of the reference)
+            (target_bboxes, mask, acls, ares, scls, sres, semcls) = _box_labels(bboxes)
+            ret.update({
+                "center_label": target_bboxes.astype(np.float32)[:, 0:3],
+                "box_label_mask": mask.astype(np.float32),
+                "heading_class_label": acls.astype(np.int64),
+                "heading_residual_label": ares.astype(np.float32),
+                "size_class_label": scls.astype(np.int64),
+                "size_residual_label": sres.astype(np.float32),
+                "sem_cls_label": semcls.astype(np.int64),
+            })
+        return ret

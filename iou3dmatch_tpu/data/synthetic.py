@@ -89,7 +89,8 @@ class SyntheticDataset:
     """Dataset-shaped wrapper (supervised or SSL labeled/unlabeled views)."""
 
     def __init__(self, dataset="scannet", num_scenes=64, num_points=20000,
-                 ssl=False, labeled=True, seed=0):
+                 ssl=False, labeled=True, seed=0, load_labels=False):
+        self.load_labels = load_labels
         self.cfg = get_config(dataset)
         self.num_scenes = num_scenes
         self.num_points = num_points
@@ -113,9 +114,14 @@ class SyntheticDataset:
         d["rot_angle"] = np.array(0, np.float32)
         d["scale"] = np.ones((1, 3), np.float32)
         if not self.labeled:
-            d = {k: d[k] for k in (
+            keep = [
                 "point_clouds", "ema_point_clouds", "flip_x_axis", "flip_y_axis",
                 "rot_mat", "rot_angle", "scale", "scan_idx",
-            )}
+            ]
+            if self.load_labels:  # raw-frame GT for --view_stats
+                keep += ["center_label", "box_label_mask", "heading_class_label",
+                         "heading_residual_label", "size_class_label",
+                         "size_residual_label", "sem_cls_label"]
+            d = {k: d[k] for k in keep}
             d["supervised_mask"] = np.array(0, np.int64)
         return d

@@ -156,6 +156,17 @@ def get_labeled_loss(ep, batch, cfg, num_labeled):
     nl = num_labeled
     m = {}
 
+    # Label arrays normally have exactly nl rows; under --view_stats the
+    # unlabeled datasets also emit (raw-frame) labels and the SSL batcher
+    # concatenates them — keep only the labeled rows here.
+    label_keys = ("center_label", "box_label_mask", "heading_class_label",
+                  "heading_residual_label", "size_class_label",
+                  "size_residual_label", "sem_cls_label", "vote_label",
+                  "vote_label_mask")
+    batch = {
+        k: (v[:nl] if k in label_keys else v) for k, v in batch.items()
+    }
+
     vote_loss = compute_vote_loss(ep, batch, nl)
     m["vote_loss"] = vote_loss
 

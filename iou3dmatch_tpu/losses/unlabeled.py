@@ -57,12 +57,16 @@ def trans_angle(angle_class, angle_residual, flip_x, flip_y, rot_angle, cfg):
 
 # ------------------------------------------------------------ pseudo labels
 def get_pseudo_labels(teacher: Dict, cfg, obj_threshold, cls_threshold,
-                      iou_threshold, nms_iou, use_lhs=True):
+                      iou_threshold, nms_iou, use_lhs=True, gt_labels=None):
     """teacher: dict of EMA-model outputs already sliced to unlabeled rows.
 
     Returns a dict of fixed-shape (B_u, MAX_NUM_OBJ[,...]) pseudo labels in
     the TEACHER frame + metrics. Mirrors get_pseudo_labels
     (loss_helper_unlabeled.py:364-538) with the LHS dedup on device.
+
+    ``gt_labels``: optional dict of real GT labels for the unlabeled rows
+    (the --view_stats "cheating" diagnostics, loss_helper_unlabeled.py
+    :392-414, :494-523) — adds pseudo-label quality metrics, never losses.
     """
     pred_center = teacher["center"]
     b, k = pred_center.shape[:2]
@@ -99,6 +103,23 @@ def get_pseudo_labels(teacher: Dict, cfg, obj_threshold, cls_threshold,
     }
     neg_obj_mask = take1(neg_obj_mask)
 
+    if gt_labels is not None:
+        from .iou_labels import compute_iou_labels
+
+        iou_labels, vs_obj_label, vs_assignment = compute_iou_labels(
+            gt_labels, teacher["aggregated_vote_xyz"], pred_center,
+            teacher["heading_scores"], teacher["heading_residuals"],
+            teacher["size_scores"], teacher["size_residuals"], cfg,
+        )
+        vs_obj = vs_obj_label.astype(jnp.float32)
+        metrics["unlabeled_pred_iou_value"] = jnp.mean(iou_labels)
+        metrics["unlabeled_pred_iou_obj_value"] = jnp.sum(iou_labels * vs_obj) / (
+            jnp.sum(vs_obj) + 1e-6)
+        iou_err = jnp.abs(iou_pred - iou_labels)
+        metrics["unlabeled_iou_acc"] = jnp.mean(iou_err)
+        metrics["unlabeled_iou_obj_acc"] = jnp.sum(iou_err * vs_obj) / (
+            jnp.sum(vs_obj) + 1e-6)
+
     argmax_size = jnp.argmax(teacher["size_scores"], axis=2)
     argmax_heading = jnp.argmax(teacher["heading_scores"], axis=2)
     heading_res = jnp.take_along_axis(
@@ -129,6 +150,43 @@ def get_pseudo_labels(teacher: Dict, cfg, obj_threshold, cls_threshold,
             lambda mn, mx, sc, cl: lhs_3d_samecls_jax(mn, mx, sc, cl, nms_iou)
         )(mins, maxs, scores, sem_cls_sel.astype(jnp.float32))
         final_mask_sorted = final_mask_sorted & keep
+
+    if gt_labels is not None:
+        # Selected-pseudo-label quality + GT coverage
+        # (loss_helper_unlabeled.py:494-523).
+        fmask = final_mask_sorted.astype(jnp.float32)
+        picked_iou = take1(iou_labels)
+        sel_obj = take1(vs_obj)
+        metrics["final_iou_avg_value"] = jnp.sum(picked_iou * fmask) / (
+            jnp.sum(fmask) + 1e-6)
+        metrics["final_iou_avg_obj_value"] = jnp.sum(picked_iou * fmask * sel_obj) / (
+            jnp.sum(fmask * sel_obj) + 1e-6)
+        sel_assignment = take1(vs_assignment)
+        sel_cls_gt = jnp.take_along_axis(
+            gt_labels["sem_cls_label"], sel_assignment, axis=1)
+        correct_cls = (sem_cls_sel == sel_cls_gt).astype(jnp.float32)
+        metrics["final_cls_value"] = jnp.sum(correct_cls * fmask) / (
+            jnp.sum(fmask) + 1e-6)
+        metrics["final_cls_obj_value"] = jnp.sum(correct_cls * fmask * sel_obj) / (
+            jnp.sum(fmask * sel_obj) + 1e-6)
+
+        from .iou_labels import compute_iou_labels as _cil
+
+        gt_to_pred = _cil(
+            gt_labels, teacher["aggregated_vote_xyz"], pred_center,
+            teacher["heading_scores"], teacher["heading_residuals"],
+            teacher["size_scores"], teacher["size_residuals"], cfg,
+            reverse=True,
+        )  # (B, G, K)
+        gt_to_sel = jnp.take_along_axis(
+            gt_to_pred, inds[:, None, :].repeat(gt_to_pred.shape[1], axis=1), axis=2
+        ) * fmask[:, None, :]
+        best_cover = jnp.max(gt_to_sel, axis=2)  # (B, G)
+        gt_count = jnp.sum(gt_labels["box_label_mask"]) + 1e-6
+        metrics["final_coverage_0.25_value"] = jnp.sum(
+            (best_cover > 0.25).astype(jnp.float32)) / gt_count
+        metrics["final_coverage_0.5_value"] = jnp.sum(
+            (best_cover > 0.5).astype(jnp.float32)) / gt_count
 
     label_mask = final_mask_sorted.astype(jnp.int32)
     center_label = jnp.where(label_mask[..., None] > 0, center_sel, -1000.0)
@@ -229,7 +287,7 @@ def _pseudo_box_and_sem_cls_loss(ep, pseudo, nl, cfg, object_assignment, objectn
 def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
                        obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                        nms_iou=0.25, use_lhs=True, samecls_match=False,
-                       dataset="scannet"):
+                       dataset="scannet", view_stats=False):
     """Returns (loss, metrics). Mirrors get_unlabeled_loss
     (loss_helper_unlabeled.py:541-600): pseudo-label the teacher's unlabeled
     rows, transform to the student frame, then center/heading/size/sem-cls
@@ -241,8 +299,19 @@ def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
         "aggregated_vote_xyz", "iou_scores",
     )}
 
+    gt_labels = None
+    if view_stats:
+        # Real labels of the "unlabeled" rows (datasets built with
+        # load_labels=True); diagnostics only, never a training signal.
+        label_keys = ("center_label", "box_label_mask", "sem_cls_label",
+                      "heading_class_label", "heading_residual_label",
+                      "size_class_label", "size_residual_label")
+        if all(k in batch and batch[k].shape[0] > nl for k in label_keys):
+            gt_labels = {k: batch[k][nl:] for k in label_keys}
+
     pseudo, m = get_pseudo_labels(
-        teacher, cfg, obj_threshold, cls_threshold, iou_threshold, nms_iou, use_lhs
+        teacher, cfg, obj_threshold, cls_threshold, iou_threshold, nms_iou,
+        use_lhs, gt_labels=gt_labels,
     )
 
     # teacher-frame -> student-frame (loss_helper_unlabeled.py:562-573)

@@ -23,22 +23,31 @@ _LANES = 128
 
 
 def _fps_kernel(npoint, n8, xyz_ref, idx_ref, mind_ref):
-    """xyz_ref: (1, 3, 8, n8) f32 block; idx_ref: (1, 1, npoint) i32 out;
-    mind_ref: (8, n8) f32 scratch."""
+    """xyz_ref: (1, 3, 8, n8) f32 block; idx_ref: (1, 1, npoint) i32 out in
+    SMEM (TPU forbids scalar stores to VMEM); mind_ref: (8, n8) scratch.
+
+    Mosaic cannot do dynamic-lane scalar loads from VMEM, so the selected
+    point's coordinates are extracted with a masked reduction over a
+    position iota, and "first-occurrence argmax" is max + min-position —
+    both full-width VPU ops, no relayouts.
+    """
     x = xyz_ref[0, 0]
     y = xyz_ref[0, 1]
     z = xyz_ref[0, 2]
     valid = (x * x + y * y + z * z) > _MAG_EPS
+    # Flat scan-order position of each element (row-major over (8, n8)).
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 0) * n8
+        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
+    )
     mind_ref[:, :] = jnp.full((_SUBLANES, n8), 1e10, dtype=jnp.float32)
     idx_ref[0, 0, 0] = 0
 
     def body(j, old):
-        # Coordinates of the previously selected point (flat index `old`).
-        row = old // n8
-        col = old % n8
-        px = xyz_ref[0, 0, row, col]
-        py = xyz_ref[0, 1, row, col]
-        pz = xyz_ref[0, 2, row, col]
+        sel = pos == old
+        px = jnp.sum(jnp.where(sel, x, 0.0))
+        py = jnp.sum(jnp.where(sel, y, 0.0))
+        pz = jnp.sum(jnp.where(sel, z, 0.0))
         dx = x - px
         dy = y - py
         dz = z - pz
@@ -46,7 +55,9 @@ def _fps_kernel(npoint, n8, xyz_ref, idx_ref, mind_ref):
         mind = jnp.where(valid, jnp.minimum(mind_ref[:, :], d), 1e10)
         mind_ref[:, :] = mind
         cand = jnp.where(valid, mind, -1.0)
-        best = jnp.argmax(cand.reshape(1, -1), axis=1)[0].astype(jnp.int32)
+        best_val = jnp.max(cand)
+        best = jnp.min(jnp.where(cand == best_val, pos, jnp.int32(2**31 - 1)))
+        best = best.astype(jnp.int32)
         idx_ref[0, 0, j] = best
         return best
 
@@ -81,7 +92,7 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((_SUBLANES, n8), jnp.float32)],
         interpret=interpret,

@@ -65,7 +65,7 @@ def make_pretrain_step(model, cfg, weight_decay=0.0):
 def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.999,
                   obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                   nms_iou=0.25, use_lhs=True, samecls_match=False,
-                  dataset="scannet", weight_decay=0.0):
+                  dataset="scannet", weight_decay=0.0, view_stats=False):
     """Mean-teacher SSL step (train.py:305-371): teacher forward on the
     unaugmented EMA view, student forward on the augmented view, labeled +
     weighted unlabeled loss, Adam, then the EMA parameter update with warmup
@@ -100,6 +100,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 obj_threshold=obj_threshold, cls_threshold=cls_threshold,
                 iou_threshold=iou_threshold, nms_iou=nms_iou, use_lhs=use_lhs,
                 samecls_match=samecls_match, dataset=dataset,
+                view_stats=view_stats,
             )
             loss = sup_loss + unlabeled_weight * unsup_loss
             m1.update(m2)
