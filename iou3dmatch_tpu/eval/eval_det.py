@@ -13,6 +13,11 @@ from .box3d_iou_np import box3d_iou
 
 
 def get_iou_obb(bb1, bb2):
+    from ..native import box3d_iou_native
+
+    res = box3d_iou_native(bb1, bb2)  # C++ fast path (iou3d_host.cc)
+    if res is not None:
+        return res[0]
     iou3d, _ = box3d_iou(bb1, bb2)
     return iou3d
 

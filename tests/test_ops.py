@@ -114,3 +114,22 @@ def test_fps_pallas_matches_xla():
         furthest_point_sample_pallas(jnp.asarray(xyz), 96, interpret=True)
     )
     np.testing.assert_array_equal(ref, pal)
+
+
+def test_ball_query_fast_matches_exact_when_no_overflow():
+    """approx path must equal the exact path whenever every center has at
+    most nsample in-radius neighbors (the only regime where the reference
+    semantics are deterministic anyway)."""
+    from iou3dmatch_tpu.ops.ball_query import ball_query
+
+    rng = np.random.RandomState(11)
+    xyz = (rng.randn(2, 2000, 3) * 3).astype(np.float32)  # sparse: few hits
+    centers = xyz[:, :128]
+    exact = np.asarray(ball_query(0.3, 16, jnp.asarray(xyz), jnp.asarray(centers)))
+    fast = np.asarray(
+        ball_query(0.3, 16, jnp.asarray(xyz), jnp.asarray(centers), exact=False)
+    )
+    # verify the no-overflow precondition with a numpy count
+    d2 = ((centers[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
+    assert (d2 < 0.09).sum(axis=2).max() <= 16
+    np.testing.assert_array_equal(exact, fast)
