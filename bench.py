@@ -81,17 +81,22 @@ def main():
     step = make_ssl_step(model, cfg, num_labeled=bl)
 
     key = jax.random.PRNGKey(1)
-    # Warmup: compile + one steady-state step. float() forces a device->host
-    # transfer: on the tunneled TPU platform block_until_ready alone does not
-    # reliably wait for queued computations.
+
+    def sync(state):
+        # Device->host fetch of the full updated param tree: on the tunneled
+        # TPU platform, neither block_until_ready nor fetching a single
+        # by-product scalar reliably waits for the whole step.
+        jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.params)
+
+    # Warmup: compile + one steady-state step.
     for i in range(2):
         state, metrics = step(state, batch, jax.random.fold_in(key, i), 2e-3, 0.5)
-        float(metrics["loss"])
+        sync(state)
 
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i), 2e-3, 0.5)
-    float(metrics["loss"])  # sync the full chain
+    sync(state)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = (bl + bu) * n_steps / dt

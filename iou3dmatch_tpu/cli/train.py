@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu); needed because this "
                         "image pins JAX_PLATFORMS at interpreter start")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps "
+                        "(epoch 0) into <log_dir>/profile")
     return p.parse_args(argv)
 
 
@@ -151,9 +154,16 @@ def main(argv=None):
         averager = MetricAverager()
         t0 = time.time()
         for bi, batch in enumerate(prefetch(iter(ssl_loader))):
+            if args.profile_steps and epoch == start_epoch and bi == 1:
+                jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
             averager.update(metrics)
+            if (args.profile_steps and epoch == start_epoch
+                    and bi == args.profile_steps):
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                logger(f"profiler trace written to {args.log_dir}/profile")
             global_step += 1
             if (bi + 1) % args.print_interval == 0:
                 means = averager.means()
