@@ -6,6 +6,7 @@ TPU-native replacement for OpenPCDet's iou3d_nms CUDA extension
 """
 from .iou3d import (
     boxes_iou3d,
+    boxes_iou_bev,
     boxes_iou3d_paired_rows,
     boxes_overlap_bev,
     box3d_iou_axis_aligned,
@@ -26,6 +27,8 @@ from .nn_distance import (
 )
 from .nms import (
     nms_2d_faster,
+    nms_rotated_jax,
+    nms_normal_jax,
     nms_3d_faster,
     nms_3d_faster_samecls,
     lhs_3d_faster_samecls,
@@ -34,6 +37,7 @@ from .nms import (
 
 __all__ = [
     "boxes_iou3d",
+    "boxes_iou_bev",
     "boxes_iou3d_paired_rows",
     "boxes_overlap_bev",
     "box3d_iou_axis_aligned",
@@ -48,6 +52,8 @@ __all__ = [
     "nn_distance",
     "nn_distance_withcls",
     "nms_2d_faster",
+    "nms_rotated_jax",
+    "nms_normal_jax",
     "nms_3d_faster",
     "nms_3d_faster_samecls",
     "lhs_3d_faster_samecls",

@@ -201,3 +201,19 @@ def box3d_iou_axis_aligned(corners1: jax.Array, corners2: jax.Array) -> jax.Arra
     vol_b = jnp.prod(max_b - min_b, axis=-1)
     inter = jnp.prod(jnp.clip(min_max - max_min, 0.0, None), axis=-1)
     return inter / (vol_a + vol_b - inter + 1e-8)
+
+
+@jax.jit
+def boxes_iou_bev(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
+    """Rotated BEV IoU cross product, (N, 7) x (M, 7) -> (N, M).
+
+    Mirrors `boxes_iou_bev` (iou3d_nms_utils.py:28-45 /
+    iou3d_nms_kernel.cu:264-277): exact rotated overlap / union of the BEV
+    footprints.
+    """
+    boxes_a = boxes_a.astype(jnp.float32)
+    boxes_b = boxes_b.astype(jnp.float32)
+    overlap = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, 1e-6, None)

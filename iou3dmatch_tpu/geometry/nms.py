@@ -135,3 +135,60 @@ def lhs_3d_samecls_jax(
     keep0 = jnp.zeros((k,), dtype=bool)
     _, keep = jax.lax.fori_loop(0, k, body, (remaining0, keep0))
     return keep
+
+
+def _nms_jax(iou: jax.Array, scores: jax.Array, thresh: float) -> jax.Array:
+    """Greedy NMS over a precomputed (K, K) IoU matrix; bool keep mask.
+
+    Fixed-shape masked loop (at most K rounds), first-max tie-break like the
+    CUDA bitmask kernels' score-sorted scan order."""
+    k = scores.shape[0]
+
+    def body(_, carry):
+        remaining, keep = carry
+        any_left = jnp.any(remaining)
+        sc = jnp.where(remaining, scores, -jnp.inf)
+        i = jnp.argmax(sc)
+        i_hot = jnp.arange(k) == i
+        supp = remaining & (iou[i] > thresh) & ~i_hot
+        new_keep = keep | (i_hot & any_left)
+        new_remaining = remaining & ~supp & ~i_hot
+        return jnp.where(any_left, new_remaining, remaining), new_keep
+
+    remaining0 = jnp.ones((k,), dtype=bool)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    _, keep = jax.lax.fori_loop(0, k, body, (remaining0, keep0))
+    return keep
+
+
+def nms_rotated_jax(boxes: jax.Array, scores: jax.Array, thresh: float) -> jax.Array:
+    """On-device rotated NMS on (K, 7) boxes; returns bool keep mask (K,).
+
+    Equivalent of `nms_gpu` (iou3d_nms_utils.py:84-101 /
+    iou3d_nms_kernel.cu:280-325), which suppresses by rotated BEV IoU.
+    """
+    from .iou3d import boxes_iou_bev
+
+    return _nms_jax(boxes_iou_bev(boxes, boxes), scores, thresh)
+
+
+def nms_normal_jax(boxes: jax.Array, scores: jax.Array, thresh: float) -> jax.Array:
+    """On-device axis-aligned-BEV NMS on (K, 7) boxes (heading ignored);
+    equivalent of `nms_normal_gpu` (iou3d_nms_utils.py:104-118 /
+    iou3d_nms_kernel.cu:327-352, `iou_normal`)."""
+    import jax.numpy as jnp
+
+    xmin = boxes[:, 0] - boxes[:, 3] / 2
+    xmax = boxes[:, 0] + boxes[:, 3] / 2
+    ymin = boxes[:, 1] - boxes[:, 4] / 2
+    ymax = boxes[:, 1] + boxes[:, 4] / 2
+    ix = jnp.clip(
+        jnp.minimum(xmax[:, None], xmax[None, :])
+        - jnp.maximum(xmin[:, None], xmin[None, :]), 0.0, None)
+    iy = jnp.clip(
+        jnp.minimum(ymax[:, None], ymax[None, :])
+        - jnp.maximum(ymin[:, None], ymin[None, :]), 0.0, None)
+    inter = ix * iy
+    area = boxes[:, 3] * boxes[:, 4]
+    iou = inter / jnp.clip(area[:, None] + area[None, :] - inter, 1e-6, None)
+    return _nms_jax(iou, scores, thresh)

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..geometry.boxes import rot_gpu
-from ..ops import three_nn
+from ..ops import group_points, three_nn
 from .mlp import BatchNorm, SharedMLP
 
 GRID_SIZE = 4
@@ -87,10 +87,19 @@ class GridConv(nn.Module):
         grid = grid + center[:, :, None, :]  # (B, K, 64, 3) world frame
         flat_grid = grid.reshape(b, k * g, 3)
 
-        dist, idx = three_nn(flat_grid, origin_xyz)  # (B, K*64, 3)
+        _, idx = three_nn(flat_grid, origin_xyz)  # (B, K*64, 3)
+        idx = jax.lax.stop_gradient(idx)
+        # The reference discards three_nn's distances and RECOMPUTES them in
+        # autograd (grid_conv_module.py:89-92) — that differentiable
+        # grid->dist->weight path is what lets test-time IoU optimization
+        # move the box center. group_points carries the feature gradient
+        # through its MXU-matmul backward.
+        interp_pts = group_points(origin_xyz, idx)  # (B, K*64, 3, 3)
+        diff = interp_pts - flat_grid[:, :, None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         weight = 1.0 / (dist + 1e-8)
         weight = weight / jnp.sum(weight, axis=2, keepdims=True)
-        gathered = jax.vmap(lambda f, i: f[i])(origin_features, idx)  # (B, K*64, 3, C)
+        gathered = group_points(origin_features, idx)  # (B, K*64, 3, C)
         interp = jnp.sum(gathered * weight[..., None], axis=2)  # (B, K*64, C)
 
         # relative grid coords in world orientation (grid - center),

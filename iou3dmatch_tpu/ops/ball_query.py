@@ -157,9 +157,30 @@ def _ball_query_approx(radius, nsample, xyz, new_xyz, chunk):
     return jnp.where(found, besti, first)
 
 
+@jax.custom_vjp
 def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather feature groups. features: (B, N, C), idx: (B, m, ns) int ->
     (B, m, ns, C). Differentiable w.r.t. ``features`` only
     (`pointnet2_utils.GroupingOperation`, pointnet2/pointnet2_utils.py:210-258).
+
+    The backward is a custom VJP: one-hot matmul segment-sum (ops/scatter.py)
+    instead of XLA's serialized TPU scatter-add.
     """
     return jax.vmap(lambda f, i: f[i])(features, idx)
+
+
+def _group_fwd(features, idx):
+    return group_points(features, idx), (idx, features.shape[1])
+
+
+def _group_bwd(res, g):
+    from .scatter import batched_onehot_segment_sum
+
+    idx, n = res
+    b, m, ns, c = g.shape
+    flat_idx = idx.reshape(b, m * ns).astype(jnp.int32)
+    flat_g = g.reshape(b, m * ns, c)
+    return batched_onehot_segment_sum(flat_idx, flat_g, n), None
+
+
+group_points.defvjp(_group_fwd, _group_bwd)

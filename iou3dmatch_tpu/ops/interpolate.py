@@ -58,16 +58,41 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     return jax.vmap(per_scene)(unknown, known)
 
 
+@jax.custom_vjp
 def three_interpolate(
     features: jax.Array, idx: jax.Array, weight: jax.Array
 ) -> jax.Array:
     """features: (B, m, C) channels-last, idx: (B, n, 3) int,
-    weight: (B, n, 3) -> (B, n, C)."""
-    idx = jax.lax.stop_gradient(idx)
-    weight = jax.lax.stop_gradient(weight)
+    weight: (B, n, 3) -> (B, n, C).
+
+    Differentiable w.r.t. ``features`` only, like the reference backward
+    (interpolate_gpu.cu:121-148); the custom VJP uses the one-hot matmul
+    segment-sum (ops/scatter.py) instead of TPU scatter-add.
+    """
 
     def per_scene(f, i, w):
         g = f[i]  # (n, 3, C)
         return jnp.sum(g * w[:, :, None], axis=1)
 
     return jax.vmap(per_scene)(features, idx, weight)
+
+
+def _interp_fwd(features, idx, weight):
+    return three_interpolate(features, idx, weight), (
+        idx, weight, features.shape[1]
+    )
+
+
+def _interp_bwd(res, g):
+    from .scatter import batched_onehot_segment_sum
+
+    idx, weight, m = res
+    b, n, c = g.shape
+    # updates for slot (n, k): g[n] * weight[n, k]
+    upd = (g[:, :, None, :] * weight[..., None]).reshape(b, n * 3, c)
+    flat_idx = idx.reshape(b, n * 3).astype(jnp.int32)
+    grad_features = batched_onehot_segment_sum(flat_idx, upd, m)
+    return grad_features, None, None
+
+
+three_interpolate.defvjp(_interp_fwd, _interp_bwd)

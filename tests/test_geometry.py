@@ -219,3 +219,31 @@ def test_corners_aabb_matches_camera_frame_corner_aabb():
     np.testing.assert_allclose(np.asarray(mins)[:, 0], dx_min, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mins)[:, 1], dy_min, atol=1e-4)
     np.testing.assert_allclose(np.asarray(mins)[:, 2], dz_min, atol=1e-4)
+
+
+def test_boxes_iou_bev_and_nms_jax():
+    """BEV IoU + on-device rotated/normal NMS (nms_gpu surface parity)."""
+    from iou3dmatch_tpu.geometry import boxes_iou_bev, nms_rotated_jax, nms_normal_jax
+
+    boxes = jnp.asarray(np.array([
+        [0, 0, 0, 2, 2, 2, 0.0],
+        [0.1, 0, 0, 2, 2, 2, 0.0],   # heavy overlap with box 0
+        [5, 5, 0, 2, 2, 2, 0.7],     # far away
+        [5, 5.2, 0, 2, 2, 2, 0.7],   # overlaps box 2
+    ], np.float32))
+    scores = jnp.asarray([0.9, 0.8, 0.95, 0.5])
+
+    iou = np.asarray(boxes_iou_bev(boxes, boxes))
+    assert abs(iou[0, 0] - 1.0) < 1e-5
+    assert iou[0, 1] > 0.8 and iou[0, 2] < 1e-6
+
+    keep = np.asarray(nms_rotated_jax(boxes, scores, 0.3))
+    np.testing.assert_array_equal(keep, [True, False, True, False])
+
+    keep_n = np.asarray(nms_normal_jax(boxes, scores, 0.3))
+    np.testing.assert_array_equal(keep_n, [True, False, True, False])
+
+    # normal NMS ignores heading: rotate box 1 heavily, AABB footprint same
+    boxes2 = boxes.at[1, 6].set(0.78)
+    keep2 = np.asarray(nms_normal_jax(boxes2, scores, 0.3))
+    np.testing.assert_array_equal(keep2, [True, False, True, False])

@@ -133,3 +133,41 @@ def test_ball_query_fast_matches_exact_when_no_overflow():
     d2 = ((centers[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
     assert (d2 < 0.09).sum(axis=2).max() <= 16
     np.testing.assert_array_equal(exact, fast)
+
+
+def test_custom_vjp_backwards_match_autodiff():
+    """The one-hot matmul backwards (ops/scatter.py) must equal XLA's
+    native scatter-add transpose exactly (duplicate indices included)."""
+    from iou3dmatch_tpu.ops import gather_points, group_points, three_interpolate
+
+    rng = np.random.RandomState(3)
+    b, n, c, m, ns = 2, 37, 5, 11, 4
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    gidx = jnp.asarray(rng.randint(0, n, (b, m, ns)))
+    cot = jnp.asarray(rng.randn(b, m, ns, c).astype(np.float32))
+
+    ref_fn = lambda f: jnp.sum(jax.vmap(lambda ff, ii: ff[ii])(f, gidx) * cot)
+    new_fn = lambda f: jnp.sum(group_points(f, gidx) * cot)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ref_fn)(feats)), np.asarray(jax.grad(new_fn)(feats)),
+        rtol=1e-5, atol=1e-5)
+
+    pidx = jnp.asarray(rng.randint(0, n, (b, m)))
+    cot2 = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    ref_fn = lambda f: jnp.sum(jax.vmap(lambda ff, ii: ff[ii])(f, pidx) * cot2)
+    new_fn = lambda f: jnp.sum(gather_points(f, pidx) * cot2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ref_fn)(feats)), np.asarray(jax.grad(new_fn)(feats)),
+        rtol=1e-5, atol=1e-5)
+
+    kfeats = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    iidx = jnp.asarray(rng.randint(0, m, (b, n, 3)))
+    w = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+    cot3 = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    ref_fn = lambda f: jnp.sum(
+        jnp.sum(jax.vmap(lambda ff, ii: ff[ii])(f, iidx)
+                * w[..., None], axis=2) * cot3)
+    new_fn = lambda f: jnp.sum(three_interpolate(f, iidx, w) * cot3)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ref_fn)(kfeats)), np.asarray(jax.grad(new_fn)(kfeats)),
+        rtol=1e-5, atol=1e-5)
