@@ -24,6 +24,9 @@ from .nn_distance import (
     huber_loss,
     nn_distance,
     nn_distance_withcls,
+    nn_distance_exclude_self,
+    nn_distance_exclude_self_with_cls,
+    nn_distance_inbox,
 )
 from .nms import (
     nms_2d_faster,
@@ -51,6 +54,9 @@ __all__ = [
     "huber_loss",
     "nn_distance",
     "nn_distance_withcls",
+    "nn_distance_exclude_self",
+    "nn_distance_exclude_self_with_cls",
+    "nn_distance_inbox",
     "nms_2d_faster",
     "nms_rotated_jax",
     "nms_normal_jax",

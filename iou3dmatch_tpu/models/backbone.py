@@ -46,6 +46,12 @@ class Pointnet2Backbone(nn.Module):
         """pointcloud: (B, N, 3 + input_feature_dim) -> end_points dict."""
         xyz = pointcloud[..., 0:3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+        # Input features are data, never differentiated — without this, the
+        # SA1 gather's custom VJP (ops/scatter.py) would compute an O(N*m*ns)
+        # one-hot product into the 40k raw points that XLA can no longer
+        # dead-code-eliminate through custom_vjp.
+        if features is not None:
+            features = jax.lax.stop_gradient(features)
 
         ep = {}
         xyz, features, fps_inds = self.sa1(xyz, features, train=train, momentum=momentum)

@@ -247,3 +247,49 @@ def test_boxes_iou_bev_and_nms_jax():
     boxes2 = boxes.at[1, 6].set(0.78)
     keep2 = np.asarray(nms_normal_jax(boxes2, scores, 0.3))
     np.testing.assert_array_equal(keep2, [True, False, True, False])
+
+
+def test_nn_distance_variants_match_torch_semantics():
+    """exclude-self / exclude-self-with-cls / inbox vs a literal numpy oracle
+    of the torch reference (utils/nn_distance.py:65-216)."""
+    from iou3dmatch_tpu.geometry import (
+        nn_distance_exclude_self, nn_distance_exclude_self_with_cls,
+        nn_distance_inbox)
+
+    rng = np.random.RandomState(5)
+    b, n = 2, 6
+    pc = rng.randn(b, n, 3).astype(np.float32)
+    cls = rng.randint(0, 3, (b, n))
+
+    # oracle: diagonal of pc2 replaced with -1000
+    tiled = np.broadcast_to(pc[:, None, :, :], (b, n, n, 3)).copy()
+    tiled[:, np.eye(n, dtype=bool)] = -1000.0
+    d_o = ((pc[:, :, None, :] - tiled) ** 2).sum(-1)
+
+    d1, i1, d2, i2 = nn_distance_exclude_self(jnp.asarray(pc), jnp.asarray(pc))
+    np.testing.assert_allclose(np.asarray(d1), d_o.min(2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i1), d_o.argmin(2))
+    np.testing.assert_allclose(np.asarray(d2), d_o.min(1), rtol=1e-4)
+
+    d_oc = d_o + (cls[:, :, None] != cls[:, None, :]) * 1000.0
+    d1c, i1c, _, _ = nn_distance_exclude_self_with_cls(
+        jnp.asarray(pc), jnp.asarray(pc), jnp.asarray(cls), jnp.asarray(cls))
+    np.testing.assert_allclose(np.asarray(d1c), d_oc.min(2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i1c), d_oc.argmin(2))
+
+    # inbox: seeds outside the target box get +1000
+    m = 4
+    pc2 = rng.randn(b, m, 3).astype(np.float32)
+    seed = rng.randn(b, n, 3).astype(np.float32)
+    half = np.abs(rng.randn(b, m, 3)).astype(np.float32)
+    d_p = ((pc[:, :, None, :] - pc2[:, None, :, :]) ** 2).sum(-1)
+    lower = pc2[:, None] - half[:, None]
+    higher = pc2[:, None] + half[:, None]
+    st = seed[:, :, None, :]
+    out = ((lower > st).any(-1) | (higher < st).any(-1)) * 1000.0
+    d_ib = d_p + out
+    d1b, i1b, d2b, i2b = nn_distance_inbox(
+        jnp.asarray(pc), jnp.asarray(seed), jnp.asarray(pc2), jnp.asarray(half))
+    np.testing.assert_allclose(np.asarray(d1b), d_ib.min(2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i1b), d_ib.argmin(2))
+    np.testing.assert_allclose(np.asarray(d2b), d_ib.min(1), rtol=1e-4)
