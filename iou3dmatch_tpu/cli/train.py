@@ -158,6 +158,13 @@ def main(argv=None):
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                checkpoint.save(os.path.join(args.log_dir, "nan_checkpoint.tar"),
+                                state, epoch)
+                logger(f"FATAL: non-finite loss {loss_val} at epoch {epoch} "
+                       f"batch {bi}; state saved to nan_checkpoint.tar")
+                raise FloatingPointError("non-finite training loss")
             averager.update(metrics)
             if (args.profile_steps and epoch == start_epoch
                     and bi == args.profile_steps):

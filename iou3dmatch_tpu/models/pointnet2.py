@@ -114,3 +114,123 @@ class PointnetFPModule(nn.Module):
         return SharedMLP(self.mlp[1:], name="mlp")(
             new_features, train=train, momentum=momentum
         )
+
+
+class GroupAll(nn.Module):
+    """Group ALL points into one neighborhood (pointnet2_utils.GroupAll,
+    pointnet2/pointnet2_utils.py:380-426): used by SA modules with
+    npoint=None for a global feature."""
+
+    use_xyz: bool = True
+
+    def __call__(self, xyz, new_xyz, features=None):
+        grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+        if features is not None:
+            if self.use_xyz:
+                return jnp.concatenate([grouped_xyz, features[:, None]], axis=-1)
+            return features[:, None]
+        return grouped_xyz
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction
+    (pointnet2_modules.py:83-130): one FPS, several (radius, nsample, mlp)
+    scales, features concatenated across scales. npoint=None groups all
+    points (global SA)."""
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    exact_ball_query: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, features=None, *, train: bool, momentum=0.1):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            inds = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, inds)
+        else:
+            new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            if self.npoint is not None:
+                idx = ball_query(radius, nsample, xyz, new_xyz,
+                                 exact=self.exact_ball_query)
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped_features = group_points(features, idx)
+                    grouped = (
+                        jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+                        if self.use_xyz else grouped_features
+                    )
+                else:
+                    grouped = grouped_xyz
+            else:
+                grouped = GroupAll(self.use_xyz)(xyz, new_xyz, features)
+
+            mlp_spec = list(mlp)
+            if self.use_xyz and len(mlp_spec) > 0:
+                mlp_spec[0] += 3
+            h = SharedMLP(mlp_spec[1:], name=f"mlp{i}")(
+                grouped, train=train, momentum=momentum)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+def PointnetSAModule(*, mlp, npoint=None, radius=None, nsample=None,
+                     use_xyz=True, **kwargs):
+    """Single-scale SA (pointnet2_modules.py:133-166) — a one-scale MSG.
+    Factory function (flax modules are frozen dataclasses)."""
+    return PointnetSAModuleMSG(
+        npoint=npoint, radii=(radius,), nsamples=(nsample,),
+        mlps=(tuple(mlp),), use_xyz=use_xyz, **kwargs)
+
+
+class PointnetLFPModuleMSG(nn.Module):
+    """Learnable multi-scale feature propagation from xyz2 to xyz1
+    (pointnet2_modules.py:425-503): group xyz2's features around xyz1
+    points, per-scale MLP + max-pool, concat xyz1's own features, post-MLP.
+    """
+
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    post_mlp: Sequence[int]
+    use_xyz: bool = True
+    exact_ball_query: bool = False
+
+    @nn.compact
+    def __call__(self, xyz2, xyz1, features2, features1, *, train: bool,
+                 momentum=0.1):
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            idx = ball_query(radius, nsample, xyz1, xyz2,
+                             exact=self.exact_ball_query)
+            grouped_xyz = group_points(xyz1, idx) - xyz2[:, :, None, :]
+            if features1 is not None:
+                grouped_features = group_points(features1, idx)
+                grouped = (
+                    jnp.concatenate([grouped_xyz, grouped_features], axis=-1)
+                    if self.use_xyz else grouped_features
+                )
+            else:
+                grouped = grouped_xyz
+            mlp_spec = list(mlp)
+            if self.use_xyz and len(mlp_spec) > 0:
+                mlp_spec[0] += 3
+            h = SharedMLP(mlp_spec[1:], name=f"mlp{i}")(
+                grouped, train=train, momentum=momentum)
+            h = jnp.max(h, axis=2)  # (B, N2, C)
+            if features2 is not None:
+                h = jnp.concatenate([h, features2], axis=-1)
+            h = SharedMLP(tuple(self.post_mlp[1:]), name=f"post_mlp{i}")(
+                h, train=train, momentum=momentum)
+            outs.append(h)
+        return jnp.concatenate(outs, axis=-1)

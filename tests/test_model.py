@@ -100,3 +100,33 @@ def test_iou_opt_gradients_flow_to_boxes(model_and_vars):
     assert np.isfinite(np.asarray(gc)).all()
     assert np.isfinite(np.asarray(gs)).all()
     assert float(jnp.abs(gc).sum()) > 0
+
+
+def test_sa_msg_and_lfp_modules():
+    """MSG / single-scale / GroupAll / LFP variants (library-surface parity
+    with pointnet2_modules.py:83-166,425-503)."""
+    from iou3dmatch_tpu.models.pointnet2 import (
+        PointnetSAModuleMSG, PointnetSAModule, PointnetLFPModuleMSG)
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 128, 8).astype(np.float32))
+
+    msg = PointnetSAModuleMSG(npoint=32, radii=(0.5, 1.0), nsamples=(8, 16),
+                              mlps=((8, 16, 16), (8, 16, 32)))
+    vars_ = msg.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+    new_xyz, out = msg.apply(vars_, xyz, feats, train=False)
+    assert new_xyz.shape == (2, 32, 3) and out.shape == (2, 32, 48)
+
+    glob = PointnetSAModule(mlp=(8, 16), npoint=None)
+    vars_g = glob.init(jax.random.PRNGKey(1), xyz, feats, train=False)
+    gx, gout = glob.apply(vars_g, xyz, feats, train=False)
+    assert gx.shape == (2, 1, 3) and gout.shape == (2, 1, 16)
+
+    lfp = PointnetLFPModuleMSG(radii=(0.8,), nsamples=(8,), mlps=((8, 16),),
+                               post_mlp=(16 + 4, 8))
+    xyz2 = xyz[:, :16]
+    feats2 = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
+    vars_l = lfp.init(jax.random.PRNGKey(2), xyz2, xyz, feats2, feats, train=False)
+    out_l = lfp.apply(vars_l, xyz2, xyz, feats2, feats, train=False)
+    assert out_l.shape == (2, 16, 8)
