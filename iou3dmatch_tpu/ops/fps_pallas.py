@@ -64,61 +64,13 @@ def _fps_kernel(npoint, n8, xyz_ref, idx_ref, mind_ref):
     jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
 
 
-def _fps_kernel_batched(npoint, n8, bb, xyz_ref, idx_ref, mind_ref):
-    """All ``bb`` scenes advance together each iteration: per-iteration ops
-    are (bb*8, n8)-wide instead of (8, n8), amortizing the ~1 us/iteration
-    loop overhead bb-fold. xyz_ref: (bb, 3, 8, n8); idx_ref: (bb, npoint)
-    SMEM; mind_ref: (bb, 8, n8) scratch."""
-    x = xyz_ref[:, 0]
-    y = xyz_ref[:, 1]
-    z = xyz_ref[:, 2]
-    valid = (x * x + y * y + z * z) > _MAG_EPS  # (bb, 8, n8)
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 0) * n8
-        + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
-    )[None]  # (1, 8, n8)
-    mind_ref[:, :, :] = jnp.full((bb, _SUBLANES, n8), 1e10, dtype=jnp.float32)
-    for s in range(bb):
-        idx_ref[s, 0] = 0
-
-    def body(j, old):
-        sel = pos == old[:, None, None]  # (bb, 8, n8)
-        px = jnp.sum(jnp.where(sel, x, 0.0), axis=(1, 2))  # (bb,)
-        py = jnp.sum(jnp.where(sel, y, 0.0), axis=(1, 2))
-        pz = jnp.sum(jnp.where(sel, z, 0.0), axis=(1, 2))
-        dx = x - px[:, None, None]
-        dy = y - py[:, None, None]
-        dz = z - pz[:, None, None]
-        d = dx * dx + dy * dy + dz * dz
-        mind = jnp.where(valid, jnp.minimum(mind_ref[:, :, :], d), 1e10)
-        mind_ref[:, :, :] = mind
-        cand = jnp.where(valid, mind, -1.0)
-        best_val = jnp.max(cand, axis=(1, 2))  # (bb,)
-        best = jnp.min(
-            jnp.where(cand == best_val[:, None, None], pos,
-                      jnp.int32(2**31 - 1)),
-            axis=(1, 2),
-        ).astype(jnp.int32)
-        for s in range(bb):
-            idx_ref[s, j] = best[s]
-        return best
-
-    jax.lax.fori_loop(1, npoint, body, jnp.zeros((bb,), jnp.int32))
-
-
-# VMEM budget for xyz + mind scratch (bytes); conservative vs the ~16 MB/core
-_VMEM_BUDGET = 10 * 2**20
-
-
 @partial(jax.jit, static_argnums=(1, 2))
 def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
                                  interpret: bool = False) -> jax.Array:
     """Batched FPS via a Pallas kernel. xyz: (B, N, 3) -> (B, npoint) int32.
 
     Drop-in replacement for ops.fps.furthest_point_sample; pass
-    ``interpret=True`` to run on CPU for testing. Scenes are processed
-    ``bb`` at a time per grid step, with bb chosen so x/y/z + the running
-    min-distance array stay within VMEM.
+    ``interpret=True`` to run on CPU for testing.
     """
     b, n, _ = xyz.shape
     block = _SUBLANES * _LANES
@@ -132,23 +84,17 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     # (B, N, 3) -> (B, 3, 8, N/8): row-major flatten preserves scan order.
     xyz_t = xyz.transpose(0, 2, 1).reshape(b, 3, _SUBLANES, n8)
 
-    per_scene_bytes = 4 * n_pad * 4  # x, y, z, mind
-    bb = max(1, min(b, _VMEM_BUDGET // per_scene_bytes))
-    while b % bb:  # grid needs equal blocks
-        bb -= 1
-    nblocks = b // bb
-
     out = pl.pallas_call(
-        partial(_fps_kernel_batched, npoint, n8, bb),
-        grid=(nblocks,),
+        partial(_fps_kernel, npoint, n8),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((bb, 3, _SUBLANES, n8), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, _SUBLANES, n8), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, npoint), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bb, _SUBLANES, n8), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_SUBLANES, n8), jnp.float32)],
         interpret=interpret,
     )(xyz_t)
-    return out
+    return out[:, 0, :]
