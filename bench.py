@@ -74,7 +74,8 @@ def main():
     from iou3dmatch_tpu.train import create_train_state, make_ssl_step
 
     tiny = not on_accel
-    model, cfg = build_votenet("scannet", tiny=tiny)
+    compute_dtype = "bfloat16" if os.environ.get("BENCH_BF16") else None
+    model, cfg = build_votenet("scannet", tiny=tiny, compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
     batch = make_batch(rng, cfg, bl, bu, n_points)
     state = create_train_state(model, jax.random.PRNGKey(0), batch, with_ema=True)
@@ -111,8 +112,9 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = (bl + bu) * n_steps / dt
+    dtype_tag = ",bf16" if compute_dtype else ""
     print(json.dumps({
-        "metric": f"ssl_step_scenes_per_sec[{platform},{n_points}pts,b{bl}+{bu}]",
+        "metric": f"ssl_step_scenes_per_sec[{platform},{n_points}pts,b{bl}+{bu}{dtype_tag}]",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),

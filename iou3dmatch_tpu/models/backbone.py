@@ -17,6 +17,7 @@ from .pointnet2 import PointnetSAModuleVotes, PointnetFPModule
 
 class Pointnet2Backbone(nn.Module):
     input_feature_dim: int = 0
+    dtype: Optional[object] = None  # bf16 compute for the SA/FP MLPs
     sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
     sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
@@ -25,22 +26,22 @@ class Pointnet2Backbone(nn.Module):
         c_in = self.input_feature_dim
         self.sa1 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[0], radius=self.sa_radii[0],
-            nsample=self.sa_nsamples[0], mlp=(c_in, 64, 64, 128),
+            nsample=self.sa_nsamples[0], dtype=self.dtype, mlp=(c_in, 64, 64, 128),
         )
         self.sa2 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[1], radius=self.sa_radii[1],
-            nsample=self.sa_nsamples[1], mlp=(128, 128, 128, 256),
+            nsample=self.sa_nsamples[1], dtype=self.dtype, mlp=(128, 128, 128, 256),
         )
         self.sa3 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[2], radius=self.sa_radii[2],
-            nsample=self.sa_nsamples[2], mlp=(256, 128, 128, 256),
+            nsample=self.sa_nsamples[2], dtype=self.dtype, mlp=(256, 128, 128, 256),
         )
         self.sa4 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[3], radius=self.sa_radii[3],
-            nsample=self.sa_nsamples[3], mlp=(256, 128, 128, 256),
+            nsample=self.sa_nsamples[3], dtype=self.dtype, mlp=(256, 128, 128, 256),
         )
-        self.fp1 = PointnetFPModule(mlp=(256 + 256, 256, 256))
-        self.fp2 = PointnetFPModule(mlp=(256 + 256, 256, 256))
+        self.fp1 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)
+        self.fp2 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)
 
     def __call__(self, pointcloud: jax.Array, *, train: bool, momentum=0.1) -> dict:
         """pointcloud: (B, N, 3 + input_feature_dim) -> end_points dict."""

@@ -17,6 +17,7 @@ def build_votenet(
     sampling: str = "seed_fps",
     query_feats: str = "seed",
     tiny: bool = False,
+    compute_dtype=None,
 ):
     """Returns (model, dataset_config). Defaults mirror pretrain.py:41-70."""
     cfg = get_config(dataset)
@@ -34,6 +35,7 @@ def build_votenet(
         num_proposal=num_proposal,
         sampling=sampling,
         query_feats=query_feats,
+        compute_dtype=compute_dtype,
         **kwargs,
     )
     return model, cfg

@@ -13,6 +13,8 @@ against 1024 seeds with (B, K*64) queries — dense, fixed-shape, MXU/VPU
 friendly. Gradients flow to (center, size, heading) when not detached by
 the caller, enabling test-time IoU optimization.
 """
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,10 +42,11 @@ class GridConv(nn.Module):
     seed_feat_dim: int = 256
     query_feats: str = "seed"
     iou_class_depend: bool = True
+    dtype: Optional[object] = None
 
     def setup(self):
         self.iou_size = self.num_class if self.iou_class_depend else 1
-        self.mlp_before_iou = SharedMLP((128, 128, 128))
+        self.mlp_before_iou = SharedMLP((128, 128, 128), dtype=self.dtype)
         out_dim = (
             3 + self.num_heading_bin * 2 + self.num_size_cluster * 3 + self.iou_size
         )

@@ -11,7 +11,7 @@ momentum ``m`` is a *traced* scalar so the epoch-indexed BN-momentum schedule
 (`pytorch_utils.BNMomentumScheduler`, `:265-299`; driven from
 pretrain.py:200-207 / train.py:231-239) never retriggers compilation.
 """
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,10 @@ from flax import linen as nn
 
 
 class BatchNorm(nn.Module):
-    """Channels-last batch norm over all leading axes."""
+    """Channels-last batch norm over all leading axes.
+
+    Statistics and normalization math always run in float32; the output is
+    cast back to the input dtype (bf16-safe under mixed precision)."""
 
     features: int
     eps: float = 1e-5
@@ -35,6 +38,8 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
@@ -49,7 +54,7 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(in_dtype)
 
 
 class SharedMLP(nn.Module):
@@ -57,18 +62,25 @@ class SharedMLP(nn.Module):
 
     Equivalent to the reference `SharedMLP` of 1x1 Conv2d+BN+ReLU layers
     (pytorch_utils.py:14-39); channels-last Dense maps onto the MXU.
+
+    ``dtype`` (e.g. jnp.bfloat16) sets the compute/activation dtype; params
+    and BN statistics stay float32. The output is returned in float32.
     """
 
     features: Sequence[int]
     bn: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, f in enumerate(self.features):
             x = nn.Dense(
-                f, kernel_init=nn.initializers.he_normal(), name=f"dense{i}"
+                f, kernel_init=nn.initializers.he_normal(), name=f"dense{i}",
+                dtype=self.dtype,
             )(x)
             if self.bn:
                 x = BatchNorm(f, name=f"bn{i}")(x, train=train, momentum=momentum)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)

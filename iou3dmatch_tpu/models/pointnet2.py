@@ -38,6 +38,7 @@ class PointnetSAModuleVotes(nn.Module):
     mlp: Sequence[int]
     use_xyz: bool = True
     normalize_xyz: bool = True
+    dtype: Optional[object] = None  # compute dtype for the shared MLP
     # approx_min_k grouping: any in-radius subset is equivalent when a center
     # overflows nsample (the reference's pick is scan-order-arbitrary there);
     # ~6x faster on TPU at SA1 scale. Set True for CUDA-exact parity.
@@ -76,7 +77,8 @@ class PointnetSAModuleVotes(nn.Module):
         mlp_spec = list(self.mlp)
         if self.use_xyz and len(mlp_spec) > 0:
             mlp_spec[0] += 3
-        h = SharedMLP(mlp_spec[1:], name="mlp")(grouped, train=train, momentum=momentum)
+        h = SharedMLP(mlp_spec[1:], name="mlp", dtype=self.dtype)(
+            grouped, train=train, momentum=momentum)
         pooled = jnp.max(h, axis=2)  # (B, npoint, C)
         return new_xyz, pooled, inds
 
@@ -89,6 +91,7 @@ class PointnetFPModule(nn.Module):
     """
 
     mlp: Sequence[int]
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -111,7 +114,7 @@ class PointnetFPModule(nn.Module):
             new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             new_features = interpolated
-        return SharedMLP(self.mlp[1:], name="mlp")(
+        return SharedMLP(self.mlp[1:], name="mlp", dtype=self.dtype)(
             new_features, train=train, momentum=momentum
         )
 

@@ -31,12 +31,15 @@ class VoteNet(nn.Module):
     sampling: str = "seed_fps"
     query_feats: str = "seed"
     sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
+    compute_dtype: Optional[str] = None  # 'bfloat16' for mixed precision
     sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
 
     def setup(self):
+        mp_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
+            dtype=mp_dtype,
             sa_npoints=self.sa_npoints,
             sa_radii=self.sa_radii,
             sa_nsamples=self.sa_nsamples,
@@ -51,6 +54,7 @@ class VoteNet(nn.Module):
             sampling=self.sampling,
         )
         self.grid_conv = GridConv(
+            dtype=mp_dtype,
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
             num_size_cluster=self.num_size_cluster,

@@ -110,48 +110,41 @@ def ball_query(
 
 
 def _ball_query_approx(radius, nsample, xyz, new_xyz, chunk):
-    """approx_min_k fast path: per N-chunk approximate nsample-smallest
-    in-radius indices, exact merge across chunks."""
+    """approx_min_k fast path, single full-N pass.
+
+    ``aggregate_to_topk=False`` returns the raw partially-reduced candidate
+    set (XLA fuses the distance computation into the partial reduction — the
+    (m, N) matrix is never materialized); one exact top-k then selects the
+    nsample smallest indices. Measured 19.9 ms vs 57.4 ms for the chunked
+    aggregated form and 5151 ms for a scatter form (SA1 shapes, v5e).
+    ``chunk`` is unused (kept for API stability).
+    """
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     r2 = jnp.float32(radius * radius)
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
-
-    chunk = min(chunk, n)
-    nchunks = -(-n // chunk)
-    pad = nchunks * chunk - n
-    if pad:
-        xyz = jnp.concatenate(
-            [xyz, jnp.full((b, pad, 3), 1e18, dtype=jnp.float32)], axis=1
-        )
-    xyz_chunks = xyz.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
     center_sq = jnp.sum(new_xyz * new_xyz, axis=-1)
     finf = jnp.float32(2**30)  # < f32 exact-int limit, > any index
+    kglob = jnp.arange(n, dtype=jnp.float32)
 
-    def scan_body(_, inp):
-        pts, base = inp
+    def per_scene(pts_s, centers_s, csq_s):
+        cross = jax.lax.dot_general(
+            centers_s, pts_s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = csq_s[:, None] + jnp.sum(pts_s * pts_s, axis=-1)[None, :] - 2.0 * cross
+        cand = jnp.where(d2 < r2, kglob[None, :], finf)
+        partial_red = jax.lax.approx_min_k(
+            cand, nsample, recall_target=0.95, aggregate_to_topk=False
+        )[0]
+        return -jax.lax.top_k(-partial_red, nsample)[0]
 
-        def per_scene(pts_s, centers_s, csq_s):
-            cross = jax.lax.dot_general(
-                centers_s, pts_s,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            d2 = csq_s[:, None] + jnp.sum(pts_s * pts_s, axis=-1)[None, :] - 2.0 * cross
-            kglob = (base + jnp.arange(chunk, dtype=jnp.int32)).astype(jnp.float32)
-            cand = jnp.where(d2 < r2, kglob[None, :], finf)
-            return jax.lax.approx_min_k(cand, nsample, recall_target=0.95)[0]
+    best = jax.vmap(per_scene)(xyz, new_xyz, center_sq)
 
-        return None, jax.vmap(per_scene)(pts, new_xyz, center_sq)
-
-    bases = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
-    # Collect per-chunk candidates, merge ONCE at the end: a per-chunk merge
-    # sort was ~40% of the whole op's device time.
-    _, tops = jax.lax.scan(scan_body, None, (xyz_chunks, bases))
-    merged = jnp.moveaxis(tops, 0, 2).reshape(b, m, nchunks * nsample)
-    best = -jax.lax.top_k(-merged, nsample)[0]
-
+    # ascending indices; fill overflow slots with the first found index,
+    # empty centers with 0.
     found = best < finf
     besti = best.astype(jnp.int32)
     first = jnp.where(found[:, :, :1], besti[:, :, :1], 0)

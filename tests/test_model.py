@@ -130,3 +130,22 @@ def test_sa_msg_and_lfp_modules():
     vars_l = lfp.init(jax.random.PRNGKey(2), xyz2, xyz, feats2, feats, train=False)
     out_l = lfp.apply(vars_l, xyz2, xyz, feats2, feats, train=False)
     assert out_l.shape == (2, 16, 8)
+
+
+def test_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' must produce outputs close to f32 (params
+    and BN stats stay f32)."""
+    from iou3dmatch_tpu.models.factory import build_votenet
+
+    model32, cfg = build_votenet("scannet", tiny=True)
+    model16, _ = build_votenet("scannet", tiny=True, compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.randn(1, 256, 4).astype(np.float32))
+    v32 = model32.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
+    out32 = model32.apply(v32, pc, train=False)
+    out16 = model16.apply(v32, pc, train=False)  # same params
+    a = np.asarray(out32["objectness_scores"])
+    b = np.asarray(out16["objectness_scores"])
+    assert b.dtype == np.float32  # outputs cast back
+    # bf16 has ~3 decimal digits; logits should broadly agree
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
