@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu); needed because this "
                         "image pins JAX_PLATFORMS at interpreter start")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the SA/FP/GridConv MLPs "
+                        "(params and BN statistics stay float32)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of this many steps "
                         "(epoch 0) into <log_dir>/profile")
@@ -109,7 +112,8 @@ def main(argv=None):
     model, _ = build_votenet(
         args.dataset, num_proposal=args.num_target,
         input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
-        sampling=args.cluster_sampling, tiny=args.tiny)
+        sampling=args.cluster_sampling, tiny=args.tiny,
+        compute_dtype="bfloat16" if args.bf16 else None)
     example = next(iter(DataLoader(labeled_ds, 1, shuffle=False, num_workers=1)))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
                                with_ema=True, weight_decay=args.weight_decay)
