@@ -55,6 +55,13 @@ class _BaseConfig:
         """NumPy host-side (model_util_*.py class2size)."""
         return self.mean_size_arr[pred_cls, :] + residual
 
+    def size2class(self, size, type_name):
+        """Full box size -> (size class, residual); size clusters are
+        semantic classes in both datasets (model_util_sunrgbd.py:80-84,
+        model_util_scannet.py:56-60)."""
+        size_class = self.type2class[type_name]
+        return size_class, size - self.mean_size_arr[size_class]
+
     def class2size_jnp(self, pred_cls, residual):
         return jnp.asarray(self.mean_size_arr)[pred_cls, :] + residual
 

@@ -119,3 +119,102 @@ def test_scannet_dataset_on_fake_dump(tmp_path):
     assert u["point_clouds"].shape == (1024, 4)
     assert u["supervised_mask"] == 0
     assert u["rot_mat"].shape == (3, 3)
+
+
+def _fake_sunrgbd_dump(tmp_path, rng):
+    """One SUN RGB-D scene dump: a 'bed' box with half-extents on disk."""
+    n = 4000
+    center = np.array([1.0, 3.0, 0.4])
+    half = np.array([1.1, 0.9, 0.35])
+    heading = 0.5
+    pc = np.zeros((n, 6), np.float32)
+    pc[:, :3] = rng.uniform(-4, 4, (n, 3))
+    pc[:, 3:] = rng.uniform(0, 1, (n, 3))
+    # points inside the box (for votes)
+    c, s = np.cos(-heading), np.sin(-heading)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    local = rng.uniform(-1, 1, (800, 3)) * half * 0.9
+    pc[:800, :3] = local @ rot.T + center
+
+    bbox = np.zeros((1, 8))
+    bbox[0, :3] = center
+    bbox[0, 3:6] = half  # HALF extents on disk (sunrgbd convention)
+    bbox[0, 6] = heading
+    bbox[0, 7] = 0  # bed
+
+    votes = np.zeros((n, 10), np.float32)
+    votes[:800, 0] = 1
+    v = center - pc[:800, :3]
+    votes[:800, 1:4] = v
+    votes[:800, 4:7] = v
+    votes[:800, 7:10] = v
+
+    np.savez_compressed(tmp_path / "000001_pc.npz", pc=pc)
+    np.save(tmp_path / "000001_bbox.npy", bbox)
+    np.savez_compressed(tmp_path / "000001_votes.npz", point_votes=votes)
+    return center, half, heading
+
+
+def test_sunrgbd_dataset_on_fake_dump(tmp_path):
+    """Real SUN RGB-D loader path: half-extent x2 size classes, heading
+    binning, vote consistency (sunrgbd_detection_dataset.py:43-246)."""
+    from iou3dmatch_tpu.data.sunrgbd import SunrgbdDetectionVotesDataset
+    from iou3dmatch_tpu.data.config import SunrgbdConfig
+
+    rng = np.random.RandomState(1)
+    center, half, heading = _fake_sunrgbd_dump(tmp_path, rng)
+    cfg = SunrgbdConfig()
+
+    np.random.seed(0)
+    ds = SunrgbdDetectionVotesDataset(str(tmp_path), num_points=2048,
+                                      use_height=True, augment=False)
+    assert len(ds) == 1
+    d = ds[0]
+    assert d["point_clouds"].shape == (2048, 4)
+    assert d["box_label_mask"].sum() == 1
+    np.testing.assert_allclose(d["center_label"][0], center, atol=1e-5)
+    # size class from FULL extents (half * 2), residual reconstructs them
+    full = cfg.mean_size_arr[d["size_class_label"][0]] + d["size_residual_label"][0]
+    np.testing.assert_allclose(full, half * 2, atol=1e-5)
+    # heading binning round-trips
+    ang = cfg.class2angle(int(d["heading_class_label"][0]),
+                          float(d["heading_residual_label"][0]))
+    assert abs(((ang - heading) + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+    # votes point at the centroid
+    mask = d["vote_label_mask"] > 0
+    assert mask.sum() > 0
+    voted = d["point_clouds"][mask, :3] + d["vote_label"][mask, :3]
+    np.testing.assert_allclose(voted, np.tile(center, (mask.sum(), 1)), atol=1e-5)
+
+
+def test_sunrgbd_ssl_datasets_on_fake_dump(tmp_path):
+    """SSL labeled/unlabeled SUN RGB-D loaders: aug params present, x-flip
+    only (flip_y always 0), unlabeled raw-frame labels with load_labels."""
+    from iou3dmatch_tpu.data.sunrgbd import (
+        SunrgbdSSLLabeledDataset, SunrgbdSSLUnlabeledDataset)
+
+    rng = np.random.RandomState(2)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    _fake_sunrgbd_dump(data_dir, rng)
+    split_dir = tmp_path / "split"
+    split_dir.mkdir()
+    (split_dir / "labeled.txt").write_text("000001\n")
+
+    np.random.seed(1)
+    lab = SunrgbdSSLLabeledDataset(str(data_dir), str(split_dir), "labeled.txt",
+                                   num_points=1024, use_height=True)
+    d = lab[0]
+    for k in ("ema_point_clouds", "flip_x_axis", "flip_y_axis", "rot_mat",
+              "rot_angle", "scale", "center_label"):
+        assert k in d, k
+    assert int(d["supervised_mask"]) == 1
+
+    # unlabeled = all scans (len == labeled list -> keep all), with labels
+    unl = SunrgbdSSLUnlabeledDataset(str(data_dir), str(split_dir), "labeled.txt",
+                                     num_points=1024, use_height=True,
+                                     load_labels=True)
+    du = unl[0]
+    assert int(du["supervised_mask"]) == 0
+    assert int(du["flip_y_axis"]) == 0  # sunrgbd never y-flips
+    assert "center_label" in du and du["box_label_mask"].sum() == 1
