@@ -133,6 +133,20 @@ def build_ssl_datasets(args):
     return labeled, unlabeled, eval_ds, cfg
 
 
+def fetch_metrics(metrics):
+    """Device metrics dict -> host float dict in ONE transfer.
+
+    Fetching each scalar separately costs one tunnel round-trip per metric
+    (~27 ms each on the tunneled TPU — it dominated step time); stacking on
+    device first makes it a single small fetch, which also serves as the
+    per-step completion sync."""
+    import jax.numpy as jnp
+
+    keys = sorted(metrics)
+    vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+    return dict(zip(keys, vals.tolist()))
+
+
 class MetricAverager:
     """Running means of every scalar metric, like the reference's
     stat_dict accumulation (train.py:356-369)."""
@@ -167,6 +181,7 @@ def evaluate(model, cfg, state, eval_loader, config_dict, logger,
     averager = MetricAverager()
     for bi, batch in enumerate(eval_loader):
         out, metrics = eval_forward(state, batch)
+        metrics = fetch_metrics(metrics)
         if opt_step > 0:
             variables = {
                 "params": state.ema_params if getattr(eval_forward, "use_ema", False)

@@ -90,7 +90,7 @@ def main(argv=None):
     from ..train import (checkpoint, create_train_state, get_bn_momentum,
                          get_lr, make_eval_forward, make_ssl_step)
     from ..utils import Logger, Visualizer
-    from .common import (MetricAverager, build_ssl_datasets, evaluate,
+    from .common import (MetricAverager, fetch_metrics, build_ssl_datasets, evaluate,
                          make_config_dict)
 
     logger = Logger(args.log_dir)
@@ -162,7 +162,8 @@ def main(argv=None):
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
-            loss_val = float(metrics["loss"])
+            metrics = fetch_metrics(metrics)  # one transfer for all scalars
+            loss_val = metrics["loss"]
             if not np.isfinite(loss_val):
                 checkpoint.save(os.path.join(args.log_dir, "nan_checkpoint.tar"),
                                 state, epoch)
