@@ -10,5 +10,10 @@ no collective calls in user code. TP/PP/SP/EP are not applicable to this
 ~1M-parameter model family (documented in SURVEY.md §2.3).
 """
 from .mesh import make_mesh, shard_batch, replicate, shard_train_step
+from .distributed import (
+    initialize_distributed, make_global_mesh, host_local_batch_to_global)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "shard_train_step",
+    "initialize_distributed", "make_global_mesh", "host_local_batch_to_global",
+]

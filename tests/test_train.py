@@ -141,3 +141,17 @@ def test_multichip_ssl_step(setup):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
     )
+
+
+def test_host_local_batch_to_global():
+    """Multi-host batch assembly helper on the single-process 8-device mesh
+    (process-local data == global data here, sharded over the mesh)."""
+    from iou3dmatch_tpu.parallel import make_global_mesh, host_local_batch_to_global
+
+    mesh = make_global_mesh()
+    batch = {"a": np.arange(16, dtype=np.float32).reshape(8, 2),
+             "b": np.ones((8, 3, 4), np.float32)}
+    g = host_local_batch_to_global(batch, mesh)
+    assert g["a"].shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(g["a"]), batch["a"])
+    assert len(g["a"].sharding.device_set) == 8
