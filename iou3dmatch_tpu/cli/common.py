@@ -9,7 +9,6 @@ import os
 import numpy as np
 
 from ..data import get_config
-from ..data.loader import DataLoader, SSLBatcher, prefetch
 from ..data.synthetic import SyntheticDataset
 from ..eval import APCalculator, parse_groundtruths, parse_predictions
 from ..eval.iou_opt import iou_optimize

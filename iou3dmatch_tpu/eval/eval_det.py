@@ -5,8 +5,6 @@ score-sorted detections, PR envelope integration, a process pool over
 classes. Host-side by design (matches the reference exactly, including tie
 handling and the strict `iou > ovthresh` test).
 """
-from multiprocessing import Pool
-
 import numpy as np
 
 from .box3d_iou_np import box3d_iou

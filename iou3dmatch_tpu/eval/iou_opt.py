@@ -9,8 +9,6 @@ TPU-native: the whole optimization is one ``lax.scan`` of jax.grad steps over
 the jitted IoU branch — no optimizer state, no host sync per step (the
 reference re-enters autograd from Python each iteration).
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

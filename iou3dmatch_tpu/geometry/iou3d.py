@@ -14,8 +14,6 @@ vectorized jnp program (24 candidate vertices with a validity mask, stable
 argsort replaces the bubble sort); pairs are vmapped, so the whole cross
 product is one fused XLA graph on the VPU — no kernel launches, no atomics.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

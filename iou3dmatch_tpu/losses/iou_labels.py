@@ -8,8 +8,6 @@ same-scene GTs. The reference computes the full (B*K, B*G) cross product and
 gathers the same-row block; we compute only the same-row block
 (`boxes_iou3d_paired_rows`), which is numerically identical and B-x cheaper.
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

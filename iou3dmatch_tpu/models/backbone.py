@@ -7,7 +7,7 @@ normalize_xyz) + 2 FP layers, seeds = fp2 (1024 points, 256-d features).
 The SA point counts are configurable so tiny configs (CI / multi-chip
 dry-runs) can shrink the model without touching the architecture.
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 from flax import linen as nn

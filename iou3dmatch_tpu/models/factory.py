@@ -1,8 +1,4 @@
 """Model construction helpers."""
-from typing import Optional
-
-import numpy as np
-
 from ..data.config import get_config
 from .votenet import VoteNet
 

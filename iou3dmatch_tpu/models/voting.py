@@ -4,7 +4,6 @@ Mirrors `models/voting_module.py:16-65`: 2x (Dense+BN+ReLU) + Dense head
 producing per-seed xyz offsets and residual features. Channels-last.
 """
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .mlp import BatchNorm

@@ -11,8 +11,6 @@ Reference: `pointnet2/_ext_src/src/interpolate_gpu.cu:14-160`, wrapped by
   features only (idx/weight are treated as constants, as in the reference
   backward, interpolate_gpu.cu:121-148).
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ student and the EMA teacher (train.py:204-228). Here the payload is a flax
 msgpack of {epoch, loss, params, batch_stats, opt_state[, ema_*]}.
 """
 import os
-from typing import Optional
 
 import jax
 import numpy as np

@@ -12,9 +12,6 @@ Reference call stacks mirrored: pretrain train_one_epoch
 (pretrain.py:310-347), SSL train_one_epoch (train.py:305-371), EMA update
 (train.py:285-289).
 """
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
