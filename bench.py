@@ -62,6 +62,8 @@ def main():
     # explicit BENCH_PLATFORM override via jax.config before backend init.
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    from iou3dmatch_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     platform = jax.devices()[0].platform
     on_accel = platform in ("tpu", "gpu")

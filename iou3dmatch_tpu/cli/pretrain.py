@@ -69,6 +69,9 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ..data.loader import DataLoader, prefetch
     from ..models.factory import build_votenet
