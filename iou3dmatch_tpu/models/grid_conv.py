@@ -97,12 +97,15 @@ class GridConv(nn.Module):
         # grid->dist->weight path is what lets test-time IoU optimization
         # move the box center. group_points carries the feature gradient
         # through its MXU-matmul backward.
-        interp_pts = group_points(origin_xyz, idx)  # (B, K*64, 3, 3)
+        # one packed gather for seed xyz + features (row-rate-bound op)
+        packed = jnp.concatenate([origin_xyz, origin_features], axis=-1)
+        grouped_all = group_points(packed, idx)  # (B, K*64, 3, 3+C)
+        interp_pts = grouped_all[..., :3]
         diff = interp_pts - flat_grid[:, :, None, :]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         weight = 1.0 / (dist + 1e-8)
         weight = weight / jnp.sum(weight, axis=2, keepdims=True)
-        gathered = group_points(origin_features, idx)  # (B, K*64, 3, C)
+        gathered = grouped_all[..., 3:]  # (B, K*64, 3, C)
         interp = jnp.sum(gathered * weight[..., None], axis=2)  # (B, K*64, C)
 
         # relative grid coords in world orientation (grid - center),

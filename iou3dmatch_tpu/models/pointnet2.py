@@ -60,12 +60,21 @@ class PointnetSAModuleVotes(nn.Module):
 
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz,
                          exact=self.exact_ball_query)
-        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        # ONE packed gather for xyz+features: TPU gathers are row-rate bound
+        # (~10 ns/row), so two separate 1.5M-row gathers at SA1 cost ~27 ms
+        # per forward — packing halves the row count.
+        if features is not None:
+            packed = jnp.concatenate([xyz, features], axis=-1)
+            grouped_all = group_points(packed, idx)
+            grouped_xyz = grouped_all[..., :3] - new_xyz[:, :, None, :]
+            grouped_features = grouped_all[..., 3:]
+        else:
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_features = None
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius
 
-        if features is not None:
-            grouped_features = group_points(features, idx)
+        if grouped_features is not None:
             if self.use_xyz:
                 # xyz channels FIRST (QueryAndGroup, pointnet2_utils.py:364-369)
                 grouped = jnp.concatenate([grouped_xyz, grouped_features], axis=-1)

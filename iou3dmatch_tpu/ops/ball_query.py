@@ -16,11 +16,12 @@ Semantics mirror the reference CUDA kernels:
 
 TPU-first design: "the first ``nsample`` in-radius points in scan order" is
 exactly "the ``nsample`` SMALLEST indices among in-radius points", so the
-whole op becomes a running top-k merge — no scatter (TPU scatters serialize;
-a scatter formulation measured 5.1 s for SA1 shapes, this one is pure
-min-top-k + matmul distances on the MXU). The (m, N) distance matrix for SA1
-(2048 x 40960, ~320 MB/scene) is never materialized: we stream over N in
-chunks with ``lax.scan``, keeping an (m, nsample) candidate buffer.
+whole op becomes a top-k selection — no scatter (TPU scatters serialize; a
+scatter formulation measured 5.1 s for SA1 shapes). Two paths:
+``exact=True`` streams N-chunks through a running top-k merge (CUDA-parity
+index sets for tests); ``exact=False`` (the model default) is one
+``approx_min_k`` partial reduction over full N with the distance matmul
+fused in — 19.9 ms vs 5151 ms at SA1 shapes on v5e.
 """
 from functools import partial
 
