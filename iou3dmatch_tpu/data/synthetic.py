@@ -13,13 +13,20 @@ from .config import get_config
 MAX_NUM_OBJ = 64
 
 
-def synthetic_scene(rng, cfg, num_points, num_boxes=8, heading=False):
-    """One scene: points scattered in a room + clusters inside GT boxes."""
+def synthetic_scene(rng, cfg, num_points, num_boxes=8, heading=False,
+                    size_jitter=0.05):
+    """One scene: points scattered in a room + clusters inside GT boxes.
+
+    ``size_jitter`` keeps box sizes close to the class mean so the semantic
+    class is actually inferable from geometry (classes have no other signal
+    in synthetic scenes; a wide jitter makes them ambiguous and caps mAP).
+    """
     nb = min(num_boxes, MAX_NUM_OBJ)
     centers = rng.uniform(-3, 3, (nb, 3)).astype(np.float32)
     centers[:, 2] = rng.uniform(0.2, 1.5, nb)
     cls = rng.randint(0, cfg.num_class, nb)
-    sizes = cfg.mean_size_arr[cls] * rng.uniform(0.8, 1.2, (nb, 3))
+    sizes = cfg.mean_size_arr[cls] * rng.uniform(
+        1.0 - size_jitter, 1.0 + size_jitter, (nb, 3))
     angles = (
         rng.uniform(-np.pi, np.pi, nb) if heading else np.zeros(nb)
     ).astype(np.float32)

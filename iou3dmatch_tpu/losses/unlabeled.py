@@ -170,9 +170,7 @@ def get_pseudo_labels(teacher: Dict, cfg, obj_threshold, cls_threshold,
         metrics["final_cls_obj_value"] = jnp.sum(correct_cls * fmask * sel_obj) / (
             jnp.sum(fmask * sel_obj) + 1e-6)
 
-        from .iou_labels import compute_iou_labels as _cil
-
-        gt_to_pred = _cil(
+        gt_to_pred = compute_iou_labels(
             gt_labels, teacher["aggregated_vote_xyz"], pred_center,
             teacher["heading_scores"], teacher["heading_residuals"],
             teacher["size_scores"], teacher["size_residuals"], cfg,
