@@ -86,15 +86,18 @@ def ball_query(
                 centers_s, pts_s,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (m, chunk)
             psq = jnp.sum(pts_s * pts_s, axis=-1)  # (chunk,)
             d2 = csq_s[:, None] + psq[None, :] - 2.0 * cross
             kglob = base + jnp.arange(chunk, dtype=jnp.int32)
             cand = jnp.where(d2 < r2, kglob[None, :], _INT_INF)  # (m, chunk)
-            # nsample smallest of [best | chunk candidates]
-            chunk_top = -jax.lax.top_k(-cand, nsample)[0]
+            # nsample smallest of [best | chunk candidates]. Value-only sorts:
+            # lax.top_k lowers to a stable sort carrying a companion index
+            # array — twice the sort traffic for values we'd discard.
+            chunk_top = jnp.sort(cand, axis=1)[:, :nsample]
             merged = jnp.concatenate([best_s, chunk_top], axis=1)
-            return -jax.lax.top_k(-merged, nsample)[0]
+            return jnp.sort(merged, axis=1)[:, :nsample]
 
         best = jax.vmap(per_scene)(best, pts, new_xyz, center_sq)
         return best, None
@@ -134,13 +137,19 @@ def _ball_query_approx(radius, nsample, xyz, new_xyz, chunk):
             centers_s, pts_s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d2 = csq_s[:, None] + jnp.sum(pts_s * pts_s, axis=-1)[None, :] - 2.0 * cross
         cand = jnp.where(d2 < r2, kglob[None, :], finf)
-        partial_red = jax.lax.approx_min_k(
-            cand, nsample, recall_target=0.95, aggregate_to_topk=False
+        # aggregate_to_topk=True: XLA's own exact top-k over the reduced set
+        # is ~2x faster than an explicit jnp.sort of the (m, l) partial
+        # result (6.5 vs 13.5 ms at SA1 shapes on v5e), and lax.top_k would
+        # be 2x worse still (stable pair-sort with a companion iota). The
+        # cheap final sort fixes ascending slot order on the k survivors.
+        sel = jax.lax.approx_min_k(
+            cand, nsample, recall_target=0.95, aggregate_to_topk=True
         )[0]
-        return -jax.lax.top_k(-partial_red, nsample)[0]
+        return jnp.sort(sel, axis=1)
 
     best = jax.vmap(per_scene)(xyz, new_xyz, center_sq)
 

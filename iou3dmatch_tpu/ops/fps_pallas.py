@@ -6,9 +6,27 @@ with |p|^2 <= 1e-3, first-occurrence argmax tie-break), but keeps the whole
 working set — x/y/z rows and the running min-distance array — pinned in VMEM
 across all ``npoint`` iterations instead of streaming from HBM each step.
 
-Layout: coordinates are pre-transposed and padded to (3, 8, N/8) so every
-per-iteration op is a full-width (8, N/8) VPU op; padding is zeros, which the
-|p|^2 <= 1e-3 rule already excludes from candidacy. One grid step per scene.
+Performance model (v5e measurements): the per-iteration cost is dominated by
+the LATENCY of the serial dependency chain (row fetch -> distance update ->
+max reduction -> argmin reduction -> next row fetch), ~600 ns/iteration
+almost independent of N — a 2048-point scene iterates nearly as slowly as a
+40k-point scene. The kernel therefore:
+
+- interleaves ``lanes_per_step`` scenes per grid step: their independent
+  chains pipeline against each other, hiding reduction latency (measured
+  ~2.3x at SA1 shapes, ~4x at the deeper small-N SA layers);
+- fetches the selected point's coordinates from a packed (N/32, 128) copy
+  via a dynamic-sublane row load + three 128-lane masked sums (narrow ops)
+  instead of full-width masked reductions (Mosaic forbids dynamic-lane
+  indexing; dynamic sublane indexing is fine);
+- folds the validity mask into the min-distance array once as a -1.0
+  sentinel (any valid distance >= 0 wins the argmax, exactly the CUDA
+  kernel's best=-1 initialization);
+- computes "first-occurrence argmax" as max + min-position; index output
+  lives in SMEM (no scalar VMEM stores).
+
+Coordinate layout: (3, 8, N/8) so every full-width op is an (8, N/8) VPU op;
+padding is zeros, which the |p|^2 <= 1e-3 rule already excludes.
 """
 from functools import partial
 
@@ -20,48 +38,64 @@ from jax.experimental.pallas import tpu as pltpu
 _MAG_EPS = 1e-3
 _SUBLANES = 8
 _LANES = 128
+_PACK = 32  # points per packed coordinate row (32 * 4 lanes = 128)
 
 
-def _fps_kernel(npoint, n8, xyz_ref, idx_ref, mind_ref):
-    """xyz_ref: (1, 3, 8, n8) f32 block; idx_ref: (1, 1, npoint) i32 out in
-    SMEM (TPU forbids scalar stores to VMEM); mind_ref: (8, n8) scratch.
-
-    Mosaic cannot do dynamic-lane scalar loads from VMEM, so the selected
-    point's coordinates are extracted with a masked reduction over a
-    position iota, and "first-occurrence argmax" is max + min-position —
-    both full-width VPU ops, no relayouts.
-    """
-    x = xyz_ref[0, 0]
-    y = xyz_ref[0, 1]
-    z = xyz_ref[0, 2]
-    valid = (x * x + y * y + z * z) > _MAG_EPS
-    # Flat scan-order position of each element (row-major over (8, n8)).
+def _fps_kernel(npoint, n8, group, xyz_ref, rows_ref, idx_ref, mind_ref):
+    """xyz_ref: (group, 3, 8, n8) f32; rows_ref: (group, N/32, 128) packed
+    coords; idx_ref: (group, 1, npoint) i32 out in SMEM; mind_ref:
+    (group, 8, n8) scratch. The ``group`` scenes are advanced in lockstep;
+    their serial chains are independent, so the VPU pipelines them."""
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 0) * n8
         + jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, n8), 1)
     )
-    mind_ref[:, :] = jnp.full((_SUBLANES, n8), 1e10, dtype=jnp.float32)
-    idx_ref[0, 0, 0] = 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * _PACK), 1)
 
-    def body(j, old):
-        sel = pos == old
-        px = jnp.sum(jnp.where(sel, x, 0.0))
-        py = jnp.sum(jnp.where(sel, y, 0.0))
-        pz = jnp.sum(jnp.where(sel, z, 0.0))
-        dx = x - px
-        dy = y - py
-        dz = z - pz
-        d = dx * dx + dy * dy + dz * dz
-        mind = jnp.where(valid, jnp.minimum(mind_ref[:, :], d), 1e10)
-        mind_ref[:, :] = mind
-        cand = jnp.where(valid, mind, -1.0)
-        best_val = jnp.max(cand)
-        best = jnp.min(jnp.where(cand == best_val, pos, jnp.int32(2**31 - 1)))
-        best = best.astype(jnp.int32)
-        idx_ref[0, 0, j] = best
-        return best
+    coords = []
+    for g in range(group):
+        x = xyz_ref[g, 0]
+        y = xyz_ref[g, 1]
+        z = xyz_ref[g, 2]
+        coords.append((x, y, z))
+        valid = (x * x + y * y + z * z) > _MAG_EPS
+        mind_ref[g] = jnp.where(
+            valid, jnp.full((_SUBLANES, n8), 1e10, dtype=jnp.float32), -1.0
+        )
+        idx_ref[g, 0, 0] = 0
 
-    jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+    def body(j, olds):
+        # Phase-sliced across scenes so independent chains interleave.
+        ds = []
+        for g in range(group):
+            row = rows_ref[g, pl.ds(olds[g] // _PACK, 1), :]  # (1, 128)
+            o = (olds[g] % _PACK) * 4
+            px = jnp.sum(jnp.where(lane == o, row, 0.0))
+            py = jnp.sum(jnp.where(lane == o + 1, row, 0.0))
+            pz = jnp.sum(jnp.where(lane == o + 2, row, 0.0))
+            x, y, z = coords[g]
+            dx = x - px
+            dy = y - py
+            dz = z - pz
+            ds.append(dx * dx + dy * dy + dz * dz)
+        minds = []
+        for g in range(group):
+            # Invalid entries hold -1.0 and d >= 0, so the min keeps them
+            # out of candidacy forever — no per-iteration masking.
+            mind = jnp.minimum(mind_ref[g], ds[g])
+            mind_ref[g] = mind
+            minds.append(mind)
+        best_vals = [jnp.max(minds[g]) for g in range(group)]
+        news = []
+        for g in range(group):
+            best = jnp.min(
+                jnp.where(minds[g] == best_vals[g], pos, jnp.int32(2**31 - 1))
+            ).astype(jnp.int32)
+            idx_ref[g, 0, j] = best
+            news.append(best)
+        return tuple(news)
+
+    jax.lax.fori_loop(1, npoint, body, (jnp.int32(0),) * group)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -76,25 +110,38 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     block = _SUBLANES * _LANES
     n_pad = -(-n // block) * block
     n8 = n_pad // _SUBLANES
+
+    # Scenes interleaved per grid step (latency hiding) — capped so the
+    # VMEM working set (~(3+4+1)*4*N bytes/scene, double-buffered inputs)
+    # stays under budget even at N=64k. Measured v5e sweet spots: 4 at
+    # N=40k (16.5 -> 7 ms for 12x40k->2048), 8 at N<=8k (7.3 -> 1.8 ms).
+    group = 1 if interpret else max(1, min(b, 8, (6 << 20) // (n_pad * 32)))
+    b_pad = -(-b // group) * group
     xyz = xyz.astype(jnp.float32)
-    if n_pad != n:
-        xyz = jnp.concatenate(
-            [xyz, jnp.zeros((b, n_pad - n, 3), jnp.float32)], axis=1
-        )
+    if b_pad != b or n_pad != n:
+        xyz = jnp.pad(xyz, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
     # (B, N, 3) -> (B, 3, 8, N/8): row-major flatten preserves scan order.
-    xyz_t = xyz.transpose(0, 2, 1).reshape(b, 3, _SUBLANES, n8)
+    xyz_t = xyz.transpose(0, 2, 1).reshape(b_pad, 3, _SUBLANES, n8)
+    # Packed copy for dynamic-row coordinate fetch: point p lives at
+    # row p // 32, lanes 4*(p % 32) .. +2.
+    nrows = n_pad // _PACK
+    rows = jnp.concatenate(
+        [xyz, jnp.zeros((b_pad, n_pad, 1), jnp.float32)], axis=2
+    ).reshape(b_pad, nrows, 4 * _PACK)
 
     out = pl.pallas_call(
-        partial(_fps_kernel, npoint, n8),
-        grid=(b,),
+        partial(_fps_kernel, npoint, n8, group),
+        grid=(b_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, 3, _SUBLANES, n8), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, 3, _SUBLANES, n8), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, nrows, 4 * _PACK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, 1, npoint), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((_SUBLANES, n8), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((group, _SUBLANES, n8), jnp.float32)],
         interpret=interpret,
-    )(xyz_t)
-    return out[:, 0, :]
+    )(xyz_t, rows)
+    return out[:b, 0, :]

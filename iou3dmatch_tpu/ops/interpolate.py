@@ -33,6 +33,7 @@ def three_nn(unknown: jax.Array, known: jax.Array):
         cross = jax.lax.dot_general(
             u, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (n, m)
         d2 = (
             jnp.sum(u * u, axis=-1)[:, None]
