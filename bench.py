@@ -15,7 +15,9 @@ V100, a mid-range estimate for VoteNet teacher+student at 40k points.
 Treat it as a fixed yardstick for round-over-round comparison, not ground
 truth.
 
-Env overrides: BENCH_POINTS, BENCH_LABELED, BENCH_UNLABELED, BENCH_STEPS.
+Env overrides: BENCH_POINTS, BENCH_LABELED, BENCH_UNLABELED, BENCH_STEPS,
+BENCH_DTYPE (default bfloat16 — the production mixed-precision config;
+set float32 for the parity configuration).
 """
 import json
 import os
@@ -76,7 +78,10 @@ def main():
     from iou3dmatch_tpu.train import create_train_state, make_ssl_step
 
     tiny = not on_accel
-    compute_dtype = "bfloat16" if os.environ.get("BENCH_BF16") else None
+    # bf16 mixed precision is the production training config on TPU (the
+    # drivers' --bf16 flag); BENCH_DTYPE=float32 opts out for parity runs.
+    dtype_env = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = None if dtype_env in ("float32", "f32") else dtype_env
     model, cfg = build_votenet("scannet", tiny=tiny, compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
     batch = make_batch(rng, cfg, bl, bu, n_points)
