@@ -185,8 +185,36 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
 
     The backward is a custom VJP: one-hot matmul segment-sum (ops/scatter.py)
     instead of XLA's serialized TPU scatter-add.
+
+    TPU forward: the hardware gather is ROW-RATE bound (~10 ns/row on v5e,
+    nearly independent of row width up to >=128 bytes). For narrow-channel
+    tables the rows are therefore packed: P consecutive points per table row
+    (a free reshape), gather idx // P — the wanted point always lands inside
+    the packed row — then select slice idx %% P with a tiny one-hot
+    contraction. Row count (and time) drops ~P-fold: the SA1 xyz+height
+    gather measured 14 -> ~4 ms at 12 x 2048 x 64 from 40k points.
     """
-    return jax.vmap(lambda f, i: f[i])(features, idx)
+    b, n, c = features.shape
+    m, ns = idx.shape[1], idx.shape[2]
+    itemsize = jnp.dtype(features.dtype).itemsize
+    # pack up to 128 bytes per row; only worth it for narrow tables
+    pack = min(8, max(1, 128 // max(c * itemsize, 1)))
+    if pack <= 1:
+        return jax.vmap(lambda f, i: f[i])(features, idx)
+    n_pad = -(-n // pack) * pack
+    if n_pad != n:
+        features = jnp.concatenate(
+            [features, jnp.zeros((b, n_pad - n, c), features.dtype)], axis=1
+        )
+    packed = features.reshape(b, n_pad // pack, pack * c)
+    idx = idx.astype(jnp.int32)
+    rows = jax.vmap(lambda f, i: f[i])(packed, idx // pack)  # (B, m, ns, P*C)
+    rows = rows.reshape(b, m, ns, pack, c)
+    sel = (
+        (idx % pack)[..., None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pack), 3)
+    )
+    return jnp.sum(rows * sel[..., None].astype(features.dtype), axis=3)
 
 
 def _group_fwd(features, idx):
