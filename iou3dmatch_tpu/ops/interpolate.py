@@ -11,12 +11,14 @@ Reference: `pointnet2/_ext_src/src/interpolate_gpu.cu:14-160`, wrapped by
   features only (idx/weight are treated as constants, as in the reference
   backward, interpolate_gpu.cu:121-148).
 """
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def three_nn(unknown: jax.Array, known: jax.Array):
+@partial(jax.jit, static_argnums=(2,))
+def three_nn(unknown: jax.Array, known: jax.Array, exact: bool = True):
     """unknown: (B, n, 3), known: (B, m, 3) ->
     (dist (B, n, 3) float32 sqrt distances, idx (B, n, 3) int32).
 
@@ -24,7 +26,16 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     (16k x 1k) that is the dominant cost. Exact top-3 by three argmin
     passes (argmin keeps the first occurrence, matching the CUDA in-order
     scan) is a handful of VPU passes instead.
+
+    ``exact=False`` uses ``approx_min_k`` (TPU partial reduction with the
+    distance matmul fused in — the (n, m) matrix never reaches HBM; the
+    exact path writes it once and re-reads it three times, ~800 MB/model at
+    GridConv train shapes). The returned neighbors are near-minimal rather
+    than guaranteed-minimal (recall ~0.95 per row); use for interpolation
+    queries, keep ``exact=True`` for CUDA-parity semantics.
     """
+    if not exact:
+        return _three_nn_approx(unknown, known)
     unknown = unknown.astype(jnp.float32)
     known = known.astype(jnp.float32)
 
@@ -50,6 +61,43 @@ def three_nn(unknown: jax.Array, known: jax.Array):
         idx = jnp.stack(idxs, axis=1)  # (n, 3)
         # Exact distances for the 3 selected neighbors (the matmul form has
         # fp cancellation; the CUDA kernel computes (u-k)^2 directly).
+        sel = k[idx]  # (n, 3, 3)
+        d_exact = jnp.sum((u[:, None, :] - sel) ** 2, axis=-1)
+        return jnp.sqrt(d_exact), idx
+
+    return jax.vmap(per_scene)(unknown, known)
+
+
+def _three_nn_approx(unknown: jax.Array, known: jax.Array):
+    """approx_min_k fast path (indices near-minimal, distances exact).
+
+    Mean-centering shrinks |q||k|, the scale of the MXU multi-pass residual
+    in the cross term, so HIGH (3-pass) precision suffices (d2 is
+    translation-invariant) — cf. ops/ball_query.py's approx path.
+    """
+    unknown = unknown.astype(jnp.float32)
+    known = known.astype(jnp.float32)
+    mu = jnp.mean(known, axis=1, keepdims=True)
+    unknown = unknown - mu
+    known = known - mu
+
+    def per_scene(u, k):
+        cross = jax.lax.dot_general(
+            u, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )  # (n, m)
+        d2 = (
+            jnp.sum(u * u, axis=-1)[:, None]
+            + jnp.sum(k * k, axis=-1)[None, :]
+            - 2.0 * cross
+        )
+        _, idx = jax.lax.approx_min_k(
+            d2, 3, recall_target=0.95, aggregate_to_topk=True
+        )
+        idx = idx.astype(jnp.int32)
+        # Exact distances for the selected neighbors (the matmul form has
+        # fp cancellation; callers that consume distances need them clean).
         sel = k[idx]  # (n, 3, 3)
         d_exact = jnp.sum((u[:, None, :] - sel) ** 2, axis=-1)
         return jnp.sqrt(d_exact), idx

@@ -171,3 +171,43 @@ def test_custom_vjp_backwards_match_autodiff():
     np.testing.assert_allclose(
         np.asarray(jax.grad(ref_fn)(kfeats)), np.asarray(jax.grad(new_fn)(kfeats)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_three_nn_approx_near_minimal():
+    """approx path: distances must be exact for the returned neighbors, and
+    each row's worst returned neighbor must be within the true 4th-NN
+    distance in nearly every row (recall_target=0.95)."""
+    rng = np.random.RandomState(5)
+    unknown = rng.rand(2, 400, 3).astype(np.float32) * 2
+    known = rng.rand(2, 128, 3).astype(np.float32) * 2
+    dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known), exact=False)
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    d2 = ((unknown[:, :, None, :] - known[:, None, :, :]) ** 2).sum(-1)
+    # distances exact for whatever neighbors were picked
+    want = np.sqrt(np.take_along_axis(d2, idx.astype(np.int64), axis=2))
+    np.testing.assert_allclose(np.sort(dist, -1), np.sort(want, -1), rtol=1e-4, atol=1e-5)
+    # no duplicate neighbors within a row
+    assert all(len(set(row)) == 3 for b in range(2) for row in idx[b])
+    # near-minimality: worst pick <= true 4th-NN distance for >=95% of rows
+    d4 = np.sqrt(np.sort(d2, axis=2)[:, :, 3])
+    ok = (dist.max(-1) <= d4 + 1e-6).mean()
+    assert ok >= 0.95, ok
+
+
+def test_scatter_chunked_fallback_matches():
+    """The chunked path (forced via a tiny element budget) must equal the
+    single-dot path exactly."""
+    from iou3dmatch_tpu.ops import scatter
+
+    rng = np.random.RandomState(9)
+    u = 300  # > 2x the 128-row minimum chunk -> the loop runs 3 chunks
+    idx = jnp.asarray(rng.randint(0, 17, (3, u)).astype(np.int32))
+    upd = jnp.asarray(rng.randn(3, u, 6).astype(np.float32))
+    want = scatter.batched_onehot_segment_sum(idx, upd, 17)
+    orig = scatter._MAX_ONEHOT_ELEMENTS
+    try:
+        scatter._MAX_ONEHOT_ELEMENTS = 100  # chunk = max(128, ...) = 128
+        got = scatter.batched_onehot_segment_sum(idx, upd, 17)
+    finally:
+        scatter._MAX_ONEHOT_ELEMENTS = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
