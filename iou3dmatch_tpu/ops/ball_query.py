@@ -209,12 +209,22 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     packed = features.reshape(b, n_pad // pack, pack * c)
     idx = idx.astype(jnp.int32)
     rows = jax.vmap(lambda f, i: f[i])(packed, idx // pack)  # (B, m, ns, P*C)
-    rows = rows.reshape(b, m, ns, pack, c)
-    sel = (
-        (idx % pack)[..., None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pack), 3)
-    )
-    return jnp.sum(rows * sel[..., None].astype(features.dtype), axis=3)
+    # Keep the select epilogue OUT of the gather fusion: fused in, XLA's
+    # gather emitter runs the whole thing through a small-window path
+    # (21.7 vs 9.2+1 ms at SA1 train shapes, v5e).
+    rows = jax.lax.optimization_barrier(rows)
+    # Slot select WITHOUT a (pack, c) reshape: a reshape there re-lays-out
+    # the 200 MB rows tensor (XLA serialized it through a windowed while
+    # loop, ~8 ms/model at SA1 train shapes). Masking on the flat P*C lane
+    # dim and summing P static lane slices keeps every op in the gather's
+    # own layout and fuses into one pass.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pack * c), 3)
+    sel = lane // c == (idx % pack)[..., None]
+    masked = jnp.where(sel, rows, jnp.zeros((), features.dtype))
+    out = masked[..., 0:c]
+    for p in range(1, pack):
+        out = out + masked[..., p * c : (p + 1) * c]
+    return out
 
 
 def _group_fwd(features, idx):
