@@ -30,15 +30,15 @@ class Pointnet2Backbone(nn.Module):
         )
         self.sa2 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[1], radius=self.sa_radii[1],
-            nsample=self.sa_nsamples[1], dtype=self.dtype, mlp=(128, 128, 128, 256),
+            nsample=self.sa_nsamples[1], dtype=self.dtype, bitcast_gather=True, mlp=(128, 128, 128, 256),
         )
         self.sa3 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[2], radius=self.sa_radii[2],
-            nsample=self.sa_nsamples[2], dtype=self.dtype, mlp=(256, 128, 128, 256),
+            nsample=self.sa_nsamples[2], dtype=self.dtype, bitcast_gather=True, mlp=(256, 128, 128, 256),
         )
         self.sa4 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[3], radius=self.sa_radii[3],
-            nsample=self.sa_nsamples[3], dtype=self.dtype, mlp=(256, 128, 128, 256),
+            nsample=self.sa_nsamples[3], dtype=self.dtype, bitcast_gather=True, mlp=(256, 128, 128, 256),
         )
         self.fp1 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)
         self.fp2 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)

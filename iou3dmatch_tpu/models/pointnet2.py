@@ -43,6 +43,9 @@ class PointnetSAModuleVotes(nn.Module):
     # overflows nsample (the reference's pick is scan-order-arbitrary there);
     # ~6x faster on TPU at SA1 scale. Set True for CUDA-exact parity.
     exact_ball_query: bool = False
+    # bf16 packed gather with bitcast f32 xyz payload (see below). Only for
+    # layers whose xyz is parameter-free (backbone); off by default.
+    bitcast_gather: bool = False
 
     @nn.compact
     def __call__(
@@ -63,7 +66,38 @@ class PointnetSAModuleVotes(nn.Module):
         # ONE packed gather for xyz+features: TPU gathers are row-rate bound
         # (~10 ns/row), so two separate 1.5M-row gathers at SA1 cost ~27 ms
         # per forward — packing halves the row count.
-        if features is not None:
+        fast = (
+            self.bitcast_gather
+            and self.dtype is not None
+            and jnp.dtype(self.dtype) != jnp.float32
+        )
+        if features is not None and fast:
+            # Row cost also grows ~11 ns/KB past the ~128 B floor, so halve
+            # the row bytes: features travel as bf16 (bit-identical to the
+            # cast SharedMLP would do anyway) and the f32 xyz rides along
+            # BITCAST into 2 bf16 payload lanes per component — exact bits,
+            # pure data movement (gather + slice only, no arithmetic).
+            # Bitcast has no VJP, hence stop_gradient: only valid where the
+            # coordinates are parameter-free (backbone SA layers — their
+            # xyz derives from the input cloud via FPS gathers, so the
+            # coordinate cotangent is identically zero at the parameters).
+            # Vote aggregation (param-dependent vote_xyz) must NOT set
+            # ``bitcast_gather``.
+            b, n, _ = xyz.shape
+            xyz16 = jax.lax.bitcast_convert_type(
+                jax.lax.stop_gradient(xyz.astype(jnp.float32)), jnp.bfloat16
+            ).reshape(b, n, 6)
+            packed = jnp.concatenate(
+                [xyz16, features.astype(jnp.bfloat16)], axis=-1
+            )
+            grouped_all = group_points(packed, idx)
+            m, ns = grouped_all.shape[1:3]
+            gxyz = jax.lax.bitcast_convert_type(
+                grouped_all[..., :6].reshape(b, m, ns, 3, 2), jnp.float32
+            )
+            grouped_xyz = gxyz - new_xyz[:, :, None, :]
+            grouped_features = grouped_all[..., 6:]
+        elif features is not None:
             packed = jnp.concatenate([xyz, features], axis=-1)
             grouped_all = group_points(packed, idx)
             grouped_xyz = grouped_all[..., :3] - new_xyz[:, :, None, :]

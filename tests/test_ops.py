@@ -211,3 +211,24 @@ def test_scatter_chunked_fallback_matches():
     finally:
         scatter._MAX_ONEHOT_ELEMENTS = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_sa_bitcast_gather_matches_f32_path():
+    """The bf16 bitcast-payload gather (backbone fast mode) must produce
+    outputs matching the f32 packed gather: xyz rides as exact f32 bits,
+    features as the same bf16 the MLP casts to anyway."""
+    import jax.numpy as jnp
+    from iou3dmatch_tpu.models.pointnet2 import PointnetSAModuleVotes
+
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 3)
+    feats = jnp.asarray(rng.randn(2, 256, 16).astype(np.float32))
+    kw = dict(npoint=64, radius=0.8, nsample=8, mlp=(16, 8), dtype=jnp.bfloat16)
+    ref = PointnetSAModuleVotes(**kw, bitcast_gather=False)
+    fast = PointnetSAModuleVotes(**kw, bitcast_gather=True)
+    vars_ref = ref.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+    a = ref.apply(vars_ref, xyz, feats, train=False)
+    b = fast.apply(vars_ref, xyz, feats, train=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
