@@ -186,45 +186,17 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     The backward is a custom VJP: one-hot matmul segment-sum (ops/scatter.py)
     instead of XLA's serialized TPU scatter-add.
 
-    TPU forward: the hardware gather is ROW-RATE bound (~10 ns/row on v5e,
-    nearly independent of row width up to >=128 bytes). For narrow-channel
-    tables the rows are therefore packed: P consecutive points per table row
-    (a free reshape), gather idx // P — the wanted point always lands inside
-    the packed row — then select slice idx %% P with a tiny one-hot
-    contraction. Row count (and time) drops ~P-fold: the SA1 xyz+height
-    gather measured 14 -> ~4 ms at 12 x 2048 x 64 from 40k points.
+    TPU forward: a plain row gather. Row cost grows ~11 ns/KB past a ~5 ns
+    floor, so the one lever that pays is fewer/narrower rows (models/
+    pointnet2.py packs xyz+features into ONE table, bf16 with bitcast-f32
+    xyz payload in fast mode). A P-points-per-row packing with an idx%%P
+    select epilogue was tried and ultimately LOST to the plain gather at
+    SA1 train shapes once the epilogue cost was accounted honestly
+    (bench 102 -> 107.5 scenes/s after removal) — narrow 16 B rows gather
+    at the same row rate as 128 B rows, so packing buys nothing the
+    epilogue doesn't spend.
     """
-    b, n, c = features.shape
-    m, ns = idx.shape[1], idx.shape[2]
-    itemsize = jnp.dtype(features.dtype).itemsize
-    # pack up to 128 bytes per row; only worth it for narrow tables
-    pack = min(8, max(1, 128 // max(c * itemsize, 1)))
-    if pack <= 1:
-        return jax.vmap(lambda f, i: f[i])(features, idx)
-    n_pad = -(-n // pack) * pack
-    if n_pad != n:
-        features = jnp.concatenate(
-            [features, jnp.zeros((b, n_pad - n, c), features.dtype)], axis=1
-        )
-    packed = features.reshape(b, n_pad // pack, pack * c)
-    idx = idx.astype(jnp.int32)
-    rows = jax.vmap(lambda f, i: f[i])(packed, idx // pack)  # (B, m, ns, P*C)
-    # Keep the select epilogue OUT of the gather fusion: fused in, XLA's
-    # gather emitter runs the whole thing through a small-window path
-    # (21.7 vs 9.2+1 ms at SA1 train shapes, v5e).
-    rows = jax.lax.optimization_barrier(rows)
-    # Slot select WITHOUT a (pack, c) reshape: a reshape there re-lays-out
-    # the 200 MB rows tensor (XLA serialized it through a windowed while
-    # loop, ~8 ms/model at SA1 train shapes). Masking on the flat P*C lane
-    # dim and summing P static lane slices keeps every op in the gather's
-    # own layout and fuses into one pass.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, pack * c), 3)
-    sel = lane // c == (idx % pack)[..., None]
-    masked = jnp.where(sel, rows, jnp.zeros((), features.dtype))
-    out = masked[..., 0:c]
-    for p in range(1, pack):
-        out = out + masked[..., p * c : (p + 1) * c]
-    return out
+    return jax.vmap(lambda f, i: f[i])(features, idx)
 
 
 def _group_fwd(features, idx):
