@@ -195,7 +195,21 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     (bench 102 -> 107.5 scenes/s after removal) — narrow 16 B rows gather
     at the same row rate as 128 B rows, so packing buys nothing the
     epilogue doesn't spend.
+
+    On TPU, narrow f32 tables dispatch to a Pallas kernel that pins the
+    whole per-scene table in VMEM (ops/gather_pallas.py): VMEM-local loads
+    run at ~5.2 ns/row vs the ~9 ns/row HBM gather (8.2 vs 14.0 ms at SA1
+    train shapes, v5e).
     """
+    from .gather_pallas import gather_rows_vmem, gather_rows_vmem_supported
+
+    b, n, c = features.shape
+    m, ns = idx.shape[1], idx.shape[2]
+    if jax.default_backend() == "tpu" and gather_rows_vmem_supported(
+        n, m * ns, c, features.dtype
+    ):
+        flat = gather_rows_vmem(features, idx.reshape(b, m * ns))
+        return flat.reshape(b, m, ns, c)
     return jax.vmap(lambda f, i: f[i])(features, idx)
 
 

@@ -232,3 +232,16 @@ def test_sa_bitcast_gather_matches_f32_path():
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_gather_rows_vmem_kernel_interpret():
+    """The Pallas VMEM gather (interpret mode on CPU) must match a plain
+    gather exactly, including duplicate and repeated indices."""
+    from iou3dmatch_tpu.ops.gather_pallas import gather_rows_vmem
+
+    rng = np.random.RandomState(4)
+    tab = jnp.asarray(rng.randn(3, 40, 4).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 40, (3, 64)).astype(np.int32))
+    got = np.asarray(gather_rows_vmem(tab, idx, True))
+    want = np.asarray(jax.vmap(lambda f, i: f[i])(tab, idx))
+    np.testing.assert_array_equal(got, want)
