@@ -39,6 +39,7 @@ _MAG_EPS = 1e-3
 _SUBLANES = 8
 _LANES = 128
 _PACK = 32  # points per packed coordinate row (32 * 4 lanes = 128)
+_VMEM_BUDGET = 100 << 20  # v5e VMEM is 128 MB; leave headroom
 
 
 def _fps_kernel(npoint, n8, group, xyz_ref, rows_ref, idx_ref, mind_ref):
@@ -113,20 +114,19 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     n_pad = -(-n // block) * block
     n8 = n_pad // _SUBLANES
 
-    # Scenes interleaved per grid step (latency hiding) — capped so the
-    # VMEM working set (~(3+4+1)*4*N bytes/scene, double-buffered inputs)
-    # stays under budget even at N=64k. Measured v5e sweet spots: 4 at
-    # N=40k (16.5 -> 7 ms for 12x40k->2048), 8 at N<=8k (7.3 -> 1.8 ms).
+    # Scenes interleaved per grid step (latency hiding): more interleave =
+    # more independent serial chains pipelining on the VPU. v5e sweeps:
+    # whole-batch-in-one-step won at every layer (9.7 -> 7.9 ms at 12x40k,
+    # 4.6 -> 4.0 at 12x2k). VMEM is 128 MB on v5e (the 16 MB "scoped"
+    # default is raised below), so the working set
+    # (~(3+4+1)*4*N bytes/scene) caps group only at very large B*N.
     if not group:
         if interpret:
             group = 1
-        elif b * n_pad * 32 <= (15 << 20):
-            # whole batch in ONE grid step: no double-buffering, so the
-            # full 16 MB VMEM is usable and every scene chain interleaves
-            # (v5e sweep: 9.7 -> 7.9 ms at 12x40k, 4.6 -> 4.0 at 12x2k)
-            group = b
+        elif b * n_pad * 32 <= _VMEM_BUDGET - (2 << 20):
+            group = b  # one grid step: no double-buffering of inputs
         else:
-            group = max(1, min(b, 8, (6 << 20) // (n_pad * 32)))
+            group = max(1, min(b, (_VMEM_BUDGET // 2) // (n_pad * 32)))
     group = min(group, b)
     b_pad = -(-b // group) * group
     xyz = xyz.astype(jnp.float32)
@@ -154,6 +154,8 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((group, _SUBLANES, n8), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET),
         interpret=interpret,
     )(xyz_t, rows)
     return out[:b, 0, :]
