@@ -137,7 +137,7 @@ class GridConv(nn.Module):
         # autograd (grid_conv_module.py:89-92) — that differentiable
         # grid->dist->weight path is what lets test-time IoU optimization
         # move the box center.
-        if self.dtype is not None and jnp.dtype(self.dtype) != jnp.float32:
+        if fast:
             # Low-precision fast path: the seed table is tiny (m=1024 rows),
             # so the 3x(B*K*64)-row gather — a row-rate-bound op, ~6 ms/step
             # at train shapes — becomes two one-hot matmuls on the MXU. The

@@ -39,7 +39,8 @@ _MAG_EPS = 1e-3
 _SUBLANES = 8
 _LANES = 128
 _PACK = 32  # points per packed coordinate row (32 * 4 lanes = 128)
-_VMEM_BUDGET = 100 << 20  # v5e VMEM is 128 MB; leave headroom
+
+from .tpu_info import VMEM_BUDGET_BYTES as _VMEM_BUDGET  # noqa: E402
 
 
 def _fps_kernel(npoint, n8, group, xyz_ref, rows_ref, idx_ref, mind_ref):
@@ -123,8 +124,10 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     if not group:
         if interpret:
             group = 1
-        elif b * n_pad * 32 <= _VMEM_BUDGET - (2 << 20):
-            group = b  # one grid step: no double-buffering of inputs
+        elif b * n_pad * 64 <= _VMEM_BUDGET - (2 << 20):
+            # one grid step; budget for 64 B/pt (2x the 32 B/pt working
+            # set) in case Mosaic still allocates pipeline double-buffers
+            group = b
         else:
             group = max(1, min(b, (_VMEM_BUDGET // 2) // (n_pad * 32)))
     group = min(group, b)

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tpu_info import VMEM_BUDGET_BYTES as _VMEM_BUDGET
+
 _G = 16  # rows gathered per loop iteration (ILP; v5e sweep optimum)
 _QC = 1 << 14  # output rows per grid step (VMEM window + SMEM idx window)
-_VMEM_BUDGET = 100 << 20
 
 
 def _kernel(qc, tab_ref, idx_ref, out_ref):
@@ -61,7 +62,10 @@ def gather_rows_vmem_supported(n, q, c, dtype) -> bool:
 
 @partial(jax.jit, static_argnums=(2,))
 def gather_rows_vmem(table: jax.Array, idx: jax.Array, interpret: bool = False):
-    """table: (B, N, C), idx: (B, Q) int32 -> (B, Q, C) gather."""
+    """table: (B, N, C), idx: (B, Q) int32 -> (B, Q, C) gather.
+
+    Out-of-range indices are clamped to [0, N-1], matching XLA gather
+    semantics, so the Pallas and fallback paths agree on any input."""
     b, n, c = table.shape
     q = idx.shape[1]
     qc = min(q, _QC)
@@ -80,4 +84,4 @@ def gather_rows_vmem(table: jax.Array, idx: jax.Array, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, q, c), table.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
         interpret=interpret,
-    )(table, idx.astype(jnp.int32).reshape(b, 1, q))
+    )(table, jnp.clip(idx.astype(jnp.int32), 0, n - 1).reshape(b, 1, q))

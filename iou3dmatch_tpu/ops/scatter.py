@@ -23,13 +23,16 @@ import jax
 import jax.numpy as jnp
 
 # Above this many one-hot elements per dot, split the update axis. The
-# fused producer means this is about compiler headroom, not HBM; model
-# shapes peak at ~1.0G elements (gather_points backward at SA1).
+# fused producer means this is about compiler headroom, not HBM. Backwards
+# that actually execute peak at ~0.8G elements (SA2 grouping); nominally
+# bigger ones (SA1, 64G) are pruned by JAX's partial eval — their
+# cotangents only flow to non-parameter leaves (raw points), so the VJP is
+# never invoked and the chunked fallback stays off the hot path.
 _MAX_ONEHOT_ELEMENTS = 2 << 30
 
 
 def _onehot_dot(idx: jax.Array, updates: jax.Array, n: int) -> jax.Array:
-    """idx: (B, U), updates: (B, U, C) -> (B, n, C) via one batched dot."""
+    """idx: (B, U), updates: (B, U, C) -> (B, n, C) f32 via one batched dot."""
     onehot = (
         idx[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
     ).astype(updates.dtype)
@@ -38,24 +41,24 @@ def _onehot_dot(idx: jax.Array, updates: jax.Array, n: int) -> jax.Array:
         updates,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(updates.dtype)
+    )
 
 
 def batched_onehot_segment_sum(
     idx: jax.Array, updates: jax.Array, n: int
 ) -> jax.Array:
     """idx: (B, U) int in [0, n); updates: (B, U, C) -> (B, n, C) summed by
-    index. Exact scatter-add semantics (duplicate indices accumulate)."""
+    index. Exact scatter-add semantics (duplicate indices accumulate); the
+    accumulator stays f32 on both paths, cast once on return."""
     b, u = idx.shape
     if b * u * n <= _MAX_ONEHOT_ELEMENTS:
-        return _onehot_dot(idx, updates, n)
-    chunk = max(128, _MAX_ONEHOT_ELEMENTS // max(b * n, 1))
-    acc = jnp.zeros((b, n, updates.shape[-1]), dtype=jnp.float32)
-    for s in range(0, u, chunk):
-        e = min(s + chunk, u)
-        acc = acc + _onehot_dot(idx[:, s:e], updates[:, s:e], n).astype(
-            jnp.float32
-        )
+        acc = _onehot_dot(idx, updates, n)
+    else:
+        chunk = max(128, _MAX_ONEHOT_ELEMENTS // max(b * n, 1))
+        acc = jnp.zeros((b, n, updates.shape[-1]), dtype=jnp.float32)
+        for s in range(0, u, chunk):
+            e = min(s + chunk, u)
+            acc = acc + _onehot_dot(idx[:, s:e], updates[:, s:e], n)
     return acc.astype(updates.dtype)
 
 
