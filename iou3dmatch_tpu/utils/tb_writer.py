@@ -96,6 +96,31 @@ def _histo_value(tag: str, values: np.ndarray, bins: int = 30) -> bytes:
     return _len_delim(1, tag.encode()) + _len_delim(5, h)
 
 
+def _image_value(tag: str, image: np.ndarray) -> bytes:
+    """Summary.Value{ tag=1, image=4 } with a PNG-encoded HWC uint8 image
+    (mirrors `tf_logger.image_summary`, utils/tf_logger.py:28-49)."""
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None].repeat(3, axis=2)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    # Summary.Image: height=1 width=2 colorspace=3 (int32),
+    # encoded_image_string=4 (bytes)
+    img = (
+        _tag(1, 0) + _varint(arr.shape[0])
+        + _tag(2, 0) + _varint(arr.shape[1])
+        + _tag(3, 0) + _varint(arr.shape[2])
+        + _len_delim(4, buf.getvalue())
+    )
+    return _len_delim(1, tag.encode()) + _len_delim(4, img)
+
+
 def _event(step: int, summary_values: bytes = b"", file_version: str = "") -> bytes:
     # Event{ wall_time=1 (double), step=2 (int64), file_version=3 | summary=5 }
     ev = _double(1, time.time()) + _int64(2, step)
@@ -134,6 +159,14 @@ class TBWriter:
     def histo_summary(self, tag: str, values, step: int, bins: int = 30) -> None:
         self._write_record(_event(step, _histo_value(tag, values, bins)))
 
+    def image_summary(self, tag: str, images, step: int) -> None:
+        """images: list/array of HWC images (tf_logger.py:28-49 semantics:
+        one Value per image, tag suffixed with its index)."""
+        payload = b"".join(
+            _image_value(f"{tag}/{i}", img) for i, img in enumerate(images)
+        )
+        self._write_record(_event(step, payload))
+
     def close(self) -> None:
         self._fh.close()
 
@@ -161,6 +194,11 @@ class Visualizer:
                 prefix = "other/"
             grouped[prefix + key] = float(value)
         self.writer.scalars(grouped, step)
+
+    def log_images(self, visuals: dict, step: int) -> None:
+        """visuals: {label: [HWC images]} (tf_visualizer.py:27-31)."""
+        for label, images in visuals.items():
+            self.writer.image_summary(label, images, step)
 
     def close(self) -> None:
         self.writer.close()

@@ -102,3 +102,22 @@ def test_metrics_precision_recall():
     prec, rec = metrics.precision_recall([pred], [gt], iou_thresh=0.25)
     assert prec == 0.5 and rec == 0.5
     assert metrics.calc_iou(box([0, 0, 0]), box([0, 0, 0])) == 1.0
+
+
+def test_tb_writer_images(tmp_path):
+    """image_summary emits a parseable record per call (PNG-encoded)."""
+    w = TBWriter(str(tmp_path))
+    img = (np.arange(12 * 8 * 3).reshape(12, 8, 3) % 255).astype(np.uint8)
+    w.image_summary("pc_views", [img, img * 0], step=3)
+    w.close()
+    import glob as _glob
+    data = open(_glob.glob(str(tmp_path / "events.out*"))[0], "rb").read()
+    assert b"pc_views/0" in data and b"pc_views/1" in data
+    assert b"\x89PNG" in data  # png magic inside the record
+
+
+def test_visualizer_log_images(tmp_path):
+    v = Visualizer(str(tmp_path), "train")
+    img = np.zeros((4, 4, 3), np.uint8)
+    v.log_images({"seeds": [img]}, step=1)
+    v.close()
