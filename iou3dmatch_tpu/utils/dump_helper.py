@@ -43,6 +43,26 @@ def write_ply_rgb(points, colors, filename):
             f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
 
 
+def write_ply_color(points, labels, filename, num_classes=None):
+    """points: (N,3), labels: (N,) ints -> ascii ply colored per label
+    (pc_util.write_ply_color semantics; deterministic HSV-wheel palette
+    instead of matplotlib's colormap — the image has no pyplot)."""
+    points = np.asarray(points)
+    labels = np.asarray(labels).astype(np.int64)
+    n = num_classes or (int(labels.max()) + 1 if labels.size else 1)
+    n = max(n, 1)
+    # evenly spaced hues at s=v=1 -> rgb palette
+    c = np.zeros((n, 3))
+    for i in range(n):
+        h = (i / n) * 6.0
+        x = 1 - abs(h % 2 - 1)
+        sector = int(h) % 6
+        c[i] = [(1, x, 0), (x, 1, 0), (0, 1, x),
+                (0, x, 1), (x, 0, 1), (1, 0, x)][sector]
+    colors = (c[np.clip(labels, 0, n - 1)] * 255).astype(np.uint8)
+    write_ply_rgb(points, colors, filename)
+
+
 _BOX_FACES = np.array([
     [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],  # bottom, top
     [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],  # sides

@@ -218,3 +218,30 @@ def test_sunrgbd_ssl_datasets_on_fake_dump(tmp_path):
     assert int(du["supervised_mask"]) == 0
     assert int(du["flip_y_axis"]) == 0  # sunrgbd never y-flips
     assert "center_label" in du and du["box_label_mask"].sum() == 1
+
+
+def test_data_viz_cli(tmp_path, capsys):
+    """data_viz dumps colored PLYs for a prepped scene (scannet/data_viz.py)."""
+    rng = np.random.RandomState(1)
+    n = 500
+    verts = np.zeros((n, 6), np.float32)
+    verts[:, :3] = rng.uniform(-2, 2, (n, 3))
+    verts[:, 3:] = rng.uniform(0, 255, (n, 3))
+    scan = str(tmp_path / "scene0002_00")
+    np.save(scan + "_vert.npy", verts)
+    np.save(scan + "_ins_label.npy", rng.randint(0, 4, n))
+    np.save(scan + "_sem_label.npy", rng.randint(0, 40, n))
+    bbox = np.array([[0, 0, 0, 1, 1, 1, 5.0], [1, 1, 1, 0.5, 0.5, 0.5, 7.0]])
+    np.save(scan + "_bbox.npy", bbox)
+
+    from iou3dmatch_tpu.cli.data_viz import main
+
+    out = str(tmp_path / "viz")
+    assert main([scan, out]) == 0
+    for name in ("scene", "scene_instance", "scene_semantic", "scene_bbox"):
+        p = os.path.join(out, name + ".ply")
+        assert os.path.exists(p)
+        head = open(p).read(200)
+        assert head.startswith("ply")
+    # colored dumps carry uchar rgb properties
+    assert "uchar red" in open(os.path.join(out, "scene_semantic.ply")).read(400)
