@@ -28,9 +28,13 @@ class Pointnet2Backbone(nn.Module):
             npoint=self.sa_npoints[0], radius=self.sa_radii[0],
             nsample=self.sa_nsamples[0], dtype=self.dtype, mlp=(c_in, 64, 64, 128),
         )
+        # sa2 keeps the f32 packed table (131 lanes): it dispatches to the
+        # VMEM-resident Pallas gather, which beats the bf16 XLA gather even
+        # at 2x the row bytes (126.1 vs 122.9 scenes/s, v5e). sa3/sa4 rows
+        # are >=1 KB f32 (width-bound) and stay on the bitcast-bf16 gather.
         self.sa2 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[1], radius=self.sa_radii[1],
-            nsample=self.sa_nsamples[1], dtype=self.dtype, bitcast_gather=True, mlp=(128, 128, 128, 256),
+            nsample=self.sa_nsamples[1], dtype=self.dtype, mlp=(128, 128, 128, 256),
         )
         self.sa3 = PointnetSAModuleVotes(
             npoint=self.sa_npoints[2], radius=self.sa_radii[2],

@@ -196,10 +196,10 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     at the same row rate as 128 B rows, so packing buys nothing the
     epilogue doesn't spend.
 
-    On TPU, narrow f32 tables dispatch to a Pallas kernel that pins the
-    whole per-scene table in VMEM (ops/gather_pallas.py): VMEM-local loads
-    run at ~5.2 ns/row vs the ~9 ns/row HBM gather (8.2 vs 14.0 ms at SA1
-    train shapes, v5e).
+    On TPU, f32 tables up to 256 lanes dispatch to a Pallas kernel that
+    pins the whole per-scene table in VMEM (ops/gather_pallas.py):
+    VMEM-local loads beat the HBM gather ~2x on row rate (v5e: 3.1 vs 7.4
+    ns/row at 4 lanes, 8.2 vs 13.9 at 131 lanes).
     """
     from .gather_pallas import gather_rows_vmem, gather_rows_vmem_supported
 

@@ -47,14 +47,18 @@ def _kernel(qc, tab_ref, idx_ref, out_ref):
 def gather_rows_vmem_supported(n, q, c, dtype) -> bool:
     """True if (B, n, c) tables x (B, q) flat indices fit this kernel.
 
-    f32-only (Mosaic cannot yet dynamic-sublane-index (16, 128)-tiled bf16
-    tables) and narrow rows only — the XLA gather's row rate is already
-    width-bound for wide rows, so VMEM residency only pays when rows are
-    narrow and the row COUNT is the cost.
+    f32-only: Mosaic cannot dynamic-sublane-index (16, 128)-tiled bf16
+    tables, and routing bf16 rows through bitcast-f32 pairs loses its edge
+    to the (b, q, c/2, 2)->(b, q, c) un-pairing relayout on the output (v5e
+    sweep: XLA 12.2 vs bitcast-pallas 11.8 ns/row at SA2 train shapes — a
+    wash). Width cap 256 lanes: VMEM-local loads keep their ~2x row-rate
+    edge through at least 2 lane-tiles (v5e: 8.2 vs 13.9 ns/row at 131
+    lanes, 3.1 vs 7.4 at 4 lanes); beyond that the HBM gather is
+    width-bound anyway and the lane-padded table bloats VMEM.
     """
-    if jnp.dtype(dtype) != jnp.float32 or c > 8:
+    if jnp.dtype(dtype) != jnp.float32 or c > 256:
         return False
-    c_pad = 128  # physical lane padding
+    c_pad = -(-c // 128) * 128  # physical lane padding
     qc = min(q, _QC)
     vmem = 2 * n * c_pad * 4 + 2 * qc * c_pad * 4
     return q % _G == 0 and q % qc == 0 and vmem < _VMEM_BUDGET
