@@ -245,3 +245,24 @@ def test_gather_rows_vmem_kernel_interpret():
     got = np.asarray(gather_rows_vmem(tab, idx, True))
     want = np.asarray(jax.vmap(lambda f, i: f[i])(tab, idx))
     np.testing.assert_array_equal(got, want)
+
+
+def test_gather_rows_vmem_wide_table():
+    """Wide f32 tables (up to 256 lanes, e.g. SA2's 131-channel packed
+    xyz+features) go through the same kernel; support predicate must accept
+    SA2 train shapes and reject >256-lane and bf16 tables."""
+    from iou3dmatch_tpu.ops.gather_pallas import (
+        gather_rows_vmem,
+        gather_rows_vmem_supported,
+    )
+
+    rng = np.random.RandomState(5)
+    tab = jnp.asarray(rng.randn(2, 48, 131).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 48, (2, 64)).astype(np.int32))
+    got = np.asarray(gather_rows_vmem(tab, idx, True))
+    want = np.asarray(jax.vmap(lambda f, i: f[i])(tab, idx))
+    np.testing.assert_array_equal(got, want)
+
+    assert gather_rows_vmem_supported(2048, 32768, 131, jnp.float32)  # SA2
+    assert not gather_rows_vmem_supported(1024, 8192, 259, jnp.float32)  # SA3
+    assert not gather_rows_vmem_supported(2048, 32768, 131, jnp.bfloat16)
