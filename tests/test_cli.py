@@ -35,3 +35,49 @@ def test_eval_flags_roundtrip():
         "--eval", "--use_iou_for_nms", "--opt_step", "10", "--opt_rate", "0.05",
     ])
     assert a.eval and a.use_iou_for_nms and a.opt_step == 10 and a.opt_rate == 0.05
+
+
+def test_driver_chain_pretrain_ssl_eval(tmp_path):
+    """End-to-end CLI smoke on synthetic data (CPU, tiny model): the
+    pretrain driver trains+evals+checkpoints, the SSL driver loads the
+    stage-1 checkpoint into student+teacher and trains, and the eval-only
+    mode with test-time IoU optimization (--opt_step) runs the full AP
+    pipeline. Mirrors the reference run_pretrain.sh -> run_train.sh ->
+    run_eval_opt.sh sequence."""
+    import os
+
+    from iou3dmatch_tpu.cli import pretrain as cli_pretrain
+    from iou3dmatch_tpu.cli import train as cli_train
+
+    pre_dir = str(tmp_path / "log_pretrain")
+    common = [
+        "--synthetic", "--synthetic_scenes", "4", "--tiny",
+        "--num_point", "512", "--num_target", "16", "--num_workers", "2",
+        "--bn_decay_step", "1",
+    ]
+    cli_pretrain.main([
+        "--log_dir", pre_dir, "--batch_size", "2", "--max_epoch", "2",
+        "--eval_interval", "2", "--print_interval", "1",
+    ] + common)
+    ckpt = os.path.join(pre_dir, "checkpoint.tar")
+    assert os.path.exists(ckpt)
+    log = open(os.path.join(pre_dir, "log_train.txt")).read()
+    assert "loss" in log and "mAP" in log
+
+    ssl_dir = str(tmp_path / "log_ssl")
+    cli_train.main([
+        "--log_dir", ssl_dir, "--detector_checkpoint", ckpt,
+        "--batch_size", "1,2", "--max_epoch", "1",
+        "--eval_interval", "5", "--print_interval", "1",
+    ] + common)
+    assert os.path.exists(os.path.join(ssl_dir, "checkpoint.tar"))
+    ssl_log = open(os.path.join(ssl_dir, "log_train.txt")).read()
+    assert "unsupervised_loss" in ssl_log or "loss" in ssl_log
+
+    # eval-only with IoU-guided NMS + 2-step test-time IoU optimization
+    cli_train.main([
+        "--log_dir", ssl_dir, "--resume", "--eval", "--use_iou_for_nms",
+        "--opt_step", "2", "--opt_rate", "0.01", "--batch_size", "1,2",
+    ] + common)
+    ssl_log = open(os.path.join(ssl_dir, "log_train.txt")).read()
+    assert "mAP" in ssl_log
