@@ -1,6 +1,10 @@
 """VoteNet + IoU branch model family (flax.linen, channels-last)."""
 from .mlp import BatchNorm, SharedMLP
-from .pointnet2 import PointnetSAModuleVotes, PointnetFPModule
+from .pointnet2 import (
+    PointnetSAModuleVotes,
+    PointnetSAModuleMSGVotes,
+    PointnetFPModule,
+)
 from .backbone import Pointnet2Backbone
 from .voting import VotingModule
 from .proposal import ProposalModule
@@ -11,6 +15,7 @@ __all__ = [
     "BatchNorm",
     "SharedMLP",
     "PointnetSAModuleVotes",
+    "PointnetSAModuleMSGVotes",
     "PointnetFPModule",
     "Pointnet2Backbone",
     "VotingModule",

@@ -24,6 +24,39 @@ from ..ops import (
 from .mlp import SharedMLP
 
 
+def uniform_resample_idx(idx: jax.Array, rng: jax.Array):
+    """Deduplicate ball-query indices and refill with uniform draws.
+
+    Fixed-shape rebuild of QueryAndGroup's ``sample_uniformly`` path
+    (pointnet2/pointnet2_utils.py:337-347): per region, the unique indices
+    (in first-occurrence order, like torch.unique on the already-sorted
+    repeat-fill pattern the ball query emits) occupy the leading slots and
+    the remaining ``nsample - unique`` slots are sampled uniformly from the
+    unique set.
+
+    Returns ``(new_idx, unique_cnt)`` with ``unique_cnt`` float32 ``(B, m)``
+    (the reference keeps it as a float tensor).
+    """
+    ns = idx.shape[-1]
+    # first-occurrence mask: slot j is unique iff no earlier slot holds the
+    # same index (ns <= 64, so the (ns, ns) comparison is cheap)
+    eq = idx[..., :, None] == idx[..., None, :]  # (B, m, ns, ns)
+    earlier = jnp.tril(jnp.ones((ns, ns), bool), k=-1)
+    is_dup = jnp.any(eq & earlier, axis=-1)  # (B, m, ns)
+    unique_cnt = jnp.sum(~is_dup, axis=-1)  # (B, m) int
+    # stable-compact the first occurrences to the front, preserving order
+    order = jnp.argsort(is_dup.astype(jnp.int32), axis=-1, stable=True)
+    compacted = jnp.take_along_axis(idx, order, axis=-1)
+    # slots past the unique count draw uniformly from [0, unique_cnt)
+    u = jax.random.uniform(rng, idx.shape)
+    draw = jnp.floor(u * unique_cnt[..., None]).astype(jnp.int32)
+    draw = jnp.minimum(draw, unique_cnt[..., None] - 1)
+    slot = jnp.arange(ns, dtype=jnp.int32)
+    pos = jnp.where(slot < unique_cnt[..., None], slot, draw)
+    new_idx = jnp.take_along_axis(compacted, pos, axis=-1)
+    return new_idx, unique_cnt.astype(jnp.float32)
+
+
 class PointnetSAModuleVotes(nn.Module):
     """Set abstraction with vote support.
 
@@ -38,6 +71,15 @@ class PointnetSAModuleVotes(nn.Module):
     mlp: Sequence[int]
     use_xyz: bool = True
     normalize_xyz: bool = True
+    # 'max' | 'avg' | 'rbf' (pointnet2_modules.py:261-271); sigma defaults to
+    # radius/2 like the reference __init__ (:197-198)
+    pooling: str = "max"
+    sigma: Optional[float] = None
+    # QueryAndGroup(sample_uniformly=True[, ret_unique_cnt=True]) parity:
+    # dedup the ball-query fill pattern and resample uniformly from the
+    # unique in-ball points; needs an rng stream named 'grouping'.
+    sample_uniformly: bool = False
+    ret_unique_cnt: bool = False
     dtype: Optional[object] = None  # compute dtype for the shared MLP
     # approx_min_k grouping: any in-radius subset is equivalent when a center
     # overflows nsample (the reference's pick is scan-order-arbitrary there);
@@ -61,8 +103,14 @@ class PointnetSAModuleVotes(nn.Module):
             inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)  # (B, npoint, 3)
 
+        if self.ret_unique_cnt:
+            assert self.sample_uniformly  # mirrors pointnet2_utils.py:315-316
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz,
                          exact=self.exact_ball_query)
+        unique_cnt = None
+        if self.sample_uniformly:
+            idx, unique_cnt = uniform_resample_idx(
+                idx, self.make_rng("grouping"))
         # ONE packed gather for xyz+features: TPU gathers are row-rate bound
         # (~10 ns/row), so two separate 1.5M-row gathers at SA1 cost ~27 ms
         # per forward — packing halves the row count.
@@ -122,7 +170,24 @@ class PointnetSAModuleVotes(nn.Module):
             mlp_spec[0] += 3
         h = SharedMLP(mlp_spec[1:], name="mlp", dtype=self.dtype)(
             grouped, train=train, momentum=momentum)
-        pooled = jnp.max(h, axis=2)  # (B, npoint, C)
+        if self.pooling == "max":
+            pooled = jnp.max(h, axis=2)  # (B, npoint, C)
+        elif self.pooling == "avg":
+            pooled = jnp.mean(h, axis=2)
+        elif self.pooling == "rbf":
+            # exp(-|gxyz|^2 / sigma^2 / 2) weighted sum / nsample, on the
+            # grouper's (possibly radius-normalized) relative coordinates
+            # (pointnet2_modules.py:267-271)
+            sigma = self.radius / 2 if self.sigma is None else self.sigma
+            rbf = jnp.exp(
+                -jnp.sum(jnp.square(grouped_xyz.astype(h.dtype)), axis=-1)
+                / (sigma ** 2) / 2
+            )  # (B, npoint, nsample)
+            pooled = jnp.sum(h * rbf[..., None], axis=2) / float(self.nsample)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+        if self.ret_unique_cnt:
+            return new_xyz, pooled, inds, unique_cnt
         return new_xyz, pooled, inds
 
 
@@ -226,6 +291,64 @@ class PointnetSAModuleMSG(nn.Module):
                 grouped, train=train, momentum=momentum)
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetSAModuleMSGVotes(nn.Module):
+    """Multi-scale-grouping SA that also returns (and accepts) the FPS
+    indices, for vote lookup (pointnet2_modules.py:280-359): one FPS shared
+    across scales, per-scale QueryAndGroup (optionally with uniform in-ball
+    resampling) + MLP + max-pool, features concatenated across scales."""
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    sample_uniformly: bool = False
+    exact_ball_query: bool = False
+    dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, xyz, features=None, inds=None, *, train: bool,
+                 momentum=0.1):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            if inds is None:
+                inds = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, inds)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            if self.npoint is not None:
+                idx = ball_query(radius, nsample, xyz, new_xyz,
+                                 exact=self.exact_ball_query)
+                if self.sample_uniformly:
+                    idx, _ = uniform_resample_idx(
+                        idx, self.make_rng("grouping"))
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped_features = group_points(features, idx)
+                    grouped = (
+                        jnp.concatenate([grouped_xyz, grouped_features],
+                                        axis=-1)
+                        if self.use_xyz else grouped_features
+                    )
+                else:
+                    grouped = grouped_xyz
+            else:
+                grouped = GroupAll(self.use_xyz)(xyz, new_xyz, features)
+
+            mlp_spec = list(mlp)
+            if self.use_xyz and len(mlp_spec) > 0:
+                mlp_spec[0] += 3
+            h = SharedMLP(mlp_spec[1:], name=f"mlp{i}", dtype=self.dtype)(
+                grouped, train=train, momentum=momentum)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
 
 
 def PointnetSAModule(*, mlp, npoint=None, radius=None, nsample=None,

@@ -132,6 +132,98 @@ def test_sa_msg_and_lfp_modules():
     assert out_l.shape == (2, 16, 8)
 
 
+def test_sa_votes_pooling_variants_and_msg_votes():
+    """avg / rbf pooling (pointnet2_modules.py:261-271) and the MSGVotes
+    variant (:280-359): shape surface + rbf numeric oracle."""
+    from iou3dmatch_tpu.models.pointnet2 import (
+        PointnetSAModuleVotes, PointnetSAModuleMSGVotes)
+
+    rng = np.random.RandomState(1)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 128, 8).astype(np.float32))
+
+    outs = {}
+    for pooling in ("max", "avg", "rbf"):
+        sa = PointnetSAModuleVotes(
+            npoint=16, radius=0.8, nsample=8, mlp=(8, 16),
+            normalize_xyz=True, pooling=pooling, exact_ball_query=True)
+        vars_ = sa.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        nx, pooled, inds = sa.apply(vars_, xyz, feats, train=False)
+        assert nx.shape == (2, 16, 3) and pooled.shape == (2, 16, 16)
+        assert inds.shape == (2, 16)
+        outs[pooling] = (vars_, np.asarray(pooled))
+    assert not np.allclose(outs["max"][1], outs["avg"][1])
+    assert not np.allclose(outs["avg"][1], outs["rbf"][1])
+
+    # rbf oracle: recompute from the max-pool path's pre-pool activations by
+    # re-running the module internals with pooling='max' replaced — instead,
+    # check the weighting bounds: |rbf pooled| <= max|h| since weights <= 1
+    # and they divide by nsample; and that sigma scales smoothly
+    sa_wide = PointnetSAModuleVotes(
+        npoint=16, radius=0.8, nsample=8, mlp=(8, 16), normalize_xyz=True,
+        pooling="rbf", sigma=100.0, exact_ball_query=True)
+    pooled_wide = sa_wide.apply(outs["rbf"][0], xyz, feats, train=False)[1]
+    # sigma -> inf makes rbf weights -> 1, i.e. rbf pooling -> avg pooling
+    np.testing.assert_allclose(
+        np.asarray(pooled_wide), outs["avg"][1], rtol=1e-4, atol=1e-5)
+
+    msg = PointnetSAModuleMSGVotes(
+        npoint=16, radii=(0.5, 1.0), nsamples=(8, 16),
+        mlps=((8, 16, 16), (8, 16, 32)))
+    vars_m = msg.init(
+        {"params": jax.random.PRNGKey(2)}, xyz, feats, train=False)
+    nx, out, inds = msg.apply(vars_m, xyz, feats, train=False)
+    assert nx.shape == (2, 16, 3) and out.shape == (2, 16, 48)
+    assert inds.shape == (2, 16)
+    # caller-provided inds are respected and passed through
+    my_inds = jnp.tile(jnp.arange(16, dtype=jnp.int32)[None], (2, 1))
+    nx2, _, inds2 = msg.apply(vars_m, xyz, feats, my_inds, train=False)
+    np.testing.assert_array_equal(np.asarray(inds2), np.asarray(my_inds))
+    np.testing.assert_allclose(
+        np.asarray(nx2), np.asarray(xyz[:, :16]), rtol=1e-6)
+
+
+def test_uniform_resample_idx_oracle():
+    """sample_uniformly semantics (pointnet2_utils.py:337-347): leading
+    slots = unique indices in first-occurrence order, refills drawn from the
+    unique set, unique_cnt exact."""
+    from iou3dmatch_tpu.models.pointnet2 import uniform_resample_idx
+
+    rng = np.random.RandomState(2)
+    idx = rng.randint(0, 6, size=(3, 5, 8)).astype(np.int32)
+    # make some rows fully duplicated like real ball-query fill
+    idx[0, 0, :] = 4
+    new_idx, cnt = jax.jit(uniform_resample_idx)(
+        jnp.asarray(idx), jax.random.PRNGKey(0))
+    new_idx, cnt = np.asarray(new_idx), np.asarray(cnt)
+    for b in range(3):
+        for m in range(5):
+            row = idx[b, m]
+            uniq = list(dict.fromkeys(row.tolist()))  # first-occurrence order
+            u = len(uniq)
+            assert cnt[b, m] == u
+            np.testing.assert_array_equal(new_idx[b, m, :u], uniq)
+            assert set(new_idx[b, m, u:].tolist()) <= set(uniq)
+
+
+def test_sa_votes_sample_uniformly_unique_cnt():
+    from iou3dmatch_tpu.models.pointnet2 import PointnetSAModuleVotes
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    sa = PointnetSAModuleVotes(
+        npoint=8, radius=0.6, nsample=8, mlp=(0, 8), use_xyz=True,
+        sample_uniformly=True, ret_unique_cnt=True, exact_ball_query=True)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "grouping": jax.random.PRNGKey(1)}
+    vars_ = sa.init(rngs, xyz, None, train=False)
+    nx, pooled, inds, ucnt = sa.apply(
+        vars_, xyz, None, train=False, rngs={"grouping": jax.random.PRNGKey(2)})
+    assert ucnt.shape == (2, 8) and ucnt.dtype == jnp.float32
+    assert np.all(np.asarray(ucnt) >= 1)
+    assert pooled.shape == (2, 8, 8)
+
+
 def test_bf16_compute_close_to_f32():
     """compute_dtype='bfloat16' must produce outputs close to f32 (params
     and BN stats stay f32)."""
