@@ -56,6 +56,56 @@ def box3d_vol(corners):
     return a * b * c
 
 
+def is_clockwise(p):
+    """(n,2) polygon points -> True if wound clockwise
+    (box_util.py:106-109, shoelace sign)."""
+    x, y = p[:, 0], p[:, 1]
+    return np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)) > 0
+
+
+def convex_hull_intersection(p1, p2):
+    """Intersection polygon and its area for two convex (x,y) vertex lists
+    (box_util.py:77-87). The clip of two convex polygons is convex, so the
+    shoelace area equals the reference's scipy ConvexHull volume."""
+    inter_p = polygon_clip(p1, p2)
+    if inter_p is not None:
+        pts = np.array(inter_p)
+        return inter_p, poly_area(pts[:, 0], pts[:, 1])
+    return None, 0.0
+
+
+def boxes3d_iou_batch(batch_corners1, batch_corners2):
+    """Oriented cross IoU (n,8,3) x (m,8,3), camera frame -> (n,m)
+    (box_util.py:152-186). NOTE: kept output-compatible with the reference,
+    which normalizes by `box3d_vol_batch`'s sqrt'd edge lengths (see
+    geometry.boxes.box3d_vol_batch_np) — use `box3d_iou` per pair for the
+    true volumetric IoU."""
+    from ..geometry.boxes import box3d_vol_batch_np
+
+    n, m = batch_corners1.shape[0], batch_corners2.shape[0]
+    vol1 = box3d_vol_batch_np(batch_corners1)
+    vol2 = box3d_vol_batch_np(batch_corners2)
+    y_max1, y_min1 = batch_corners1[:, 0, 1], batch_corners1[:, 4, 1]
+    y_max2, y_min2 = batch_corners2[:, 0, 1], batch_corners2[:, 4, 1]
+    rects1 = [
+        [(batch_corners1[j, k, 0], batch_corners1[j, k, 2])
+         for k in range(3, -1, -1)]
+        for j in range(n)
+    ]
+    iou = np.zeros((n, m), dtype=np.float32)
+    for i in range(m):
+        rect2 = [(batch_corners2[i, k, 0], batch_corners2[i, k, 2])
+                 for k in range(3, -1, -1)]
+        inter_y = np.clip(np.minimum(y_max1, y_max2[i])
+                          - np.maximum(y_min1, y_min2[i]), 0.0, None)
+        inter_area = np.array([
+            convex_hull_intersection(rects1[j], rect2)[1] for j in range(n)
+        ], dtype=np.float32)
+        inter_vol = inter_y * inter_area
+        iou[:, i] = inter_vol / (vol1 + vol2[i] - inter_vol)
+    return iou
+
+
 def box3d_iou(corners1, corners2):
     """(8,3) x (8,3) camera-frame corners -> (iou3d, iou_bev)
     (box_util.py:112-137)."""

@@ -14,11 +14,19 @@ from .iou3d import (
 from .boxes import (
     rotz,
     rot_gpu,
+    roty_np,
     get_3d_box_batch_np,
     get_3d_box_np,
+    get_3d_box_depth_np,
     flip_axis_to_camera,
     flip_axis_to_depth,
     corners_aabb,
+    box3d_vol_batch_np,
+    get_iou,
+    box2d_iou,
+    box3d_iou_batch_np,
+    corners3d_to_parameter,
+    check_valid_corners3d,
 )
 from .nn_distance import (
     huber_loss,
@@ -29,6 +37,7 @@ from .nn_distance import (
     nn_distance_inbox,
 )
 from .nms import (
+    nms_2d,
     nms_2d_faster,
     nms_rotated_jax,
     nms_normal_jax,
@@ -46,17 +55,26 @@ __all__ = [
     "box3d_iou_axis_aligned",
     "rotz",
     "rot_gpu",
+    "roty_np",
     "get_3d_box_batch_np",
     "get_3d_box_np",
+    "get_3d_box_depth_np",
     "flip_axis_to_camera",
     "flip_axis_to_depth",
     "corners_aabb",
+    "box3d_vol_batch_np",
+    "get_iou",
+    "box2d_iou",
+    "box3d_iou_batch_np",
+    "corners3d_to_parameter",
+    "check_valid_corners3d",
     "huber_loss",
     "nn_distance",
     "nn_distance_withcls",
     "nn_distance_exclude_self",
     "nn_distance_exclude_self_with_cls",
     "nn_distance_inbox",
+    "nms_2d",
     "nms_2d_faster",
     "nms_rotated_jax",
     "nms_normal_jax",

@@ -44,6 +44,13 @@ def _nms_loop(boxes, overlap_threshold, old_type, same_cls, lhs, area_eps):
     return pick
 
 
+def nms_2d(boxes, overlap_threshold):
+    """Plain (pairwise-loop) 2D NMS with intersection/area overlap; boxes
+    (n, 5) [x1,y1,x2,y2,score] (utils/nms.py:20-49, sans its debug print).
+    Equivalent to nms_2d_faster(old_type=True); kept for surface parity."""
+    return nms_2d_faster(boxes, overlap_threshold, old_type=True)
+
+
 def nms_2d_faster(boxes, overlap_threshold, old_type=False):
     """boxes: (n, 5) [x1,y1,x2,y2,score] (utils/nms.py:52-83)."""
     x1, y1, x2, y2, score = (boxes[:, k] for k in range(5))

@@ -82,16 +82,9 @@ def _obb_corners(obb):
     return np.stack([xr + cx, yr + cy, z + cz], axis=1)
 
 
-def write_oriented_bbox(obbs, filename):
-    """obbs: (K, 7) -> one ply mesh with a solid box per obb
-    (pc_util.write_oriented_bbox semantics without trimesh)."""
-    obbs = np.asarray(obbs).reshape(-1, 7)
-    verts, faces = [], []
-    for i, obb in enumerate(obbs):
-        verts.append(_obb_corners(obb))
-        faces.append(_BOX_FACES + 8 * i)
-    verts = np.concatenate(verts) if verts else np.zeros((0, 3))
-    faces = np.concatenate(faces) if faces else np.zeros((0, 3), int)
+def _write_ply_mesh(verts, faces, filename):
+    verts = np.asarray(verts)
+    faces = np.asarray(faces, dtype=int)
     with open(filename, "w") as f:
         f.write(
             "ply\nformat ascii 1.0\n"
@@ -105,6 +98,89 @@ def write_oriented_bbox(obbs, filename):
             f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in faces:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _boxes_to_mesh(corner_fn, boxes):
+    boxes = np.asarray(boxes)
+    verts, faces = [], []
+    for i, box in enumerate(boxes):
+        verts.append(corner_fn(box))
+        faces.append(_BOX_FACES + 8 * i)
+    verts = np.concatenate(verts) if verts else np.zeros((0, 3))
+    faces = np.concatenate(faces) if faces else np.zeros((0, 3), int)
+    return verts, faces
+
+
+def write_oriented_bbox(obbs, filename):
+    """obbs: (K, 7) z-heading -> one ply mesh with a solid box per obb
+    (pc_util.write_oriented_bbox:389-425 semantics without trimesh)."""
+    verts, faces = _boxes_to_mesh(_obb_corners, np.asarray(obbs).reshape(-1, 7))
+    _write_ply_mesh(verts, faces, filename)
+
+
+def write_bbox(scene_bbox, filename):
+    """scene_bbox: (K, 6) = center + lengths, axis-aligned -> ply mesh
+    (pc_util.write_bbox:358-387)."""
+    boxes = np.asarray(scene_bbox).reshape(-1, 6)
+    obbs = np.concatenate([boxes, np.zeros((len(boxes), 1))], axis=1)
+    write_oriented_bbox(obbs, filename)
+
+
+def _obb_corners_camera(obb):
+    """obb: (7,) camera frame (y down), heading about the Y axis
+    (pc_util.write_oriented_bbox_camera_coord:427-464)."""
+    cx, cy, cz, dx, dy, dz, heading = [float(v) for v in obb[:7]]
+    x = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * dx / 2
+    y = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * dy / 2
+    z = np.array([-1, -1, -1, -1, 1, 1, 1, 1]) * dz / 2
+    c, s = np.cos(heading), np.sin(heading)
+    xr = c * x + s * z
+    zr = -s * x + c * z
+    return np.stack([xr + cx, y + cy, zr + cz], axis=1)
+
+
+def write_oriented_bbox_camera_coord(scene_bbox, filename):
+    """(K, 7) boxes with heading about +Y (camera coords) -> ply mesh."""
+    verts, faces = _boxes_to_mesh(
+        _obb_corners_camera, np.asarray(scene_bbox).reshape(-1, 7))
+    _write_ply_mesh(verts, faces, filename)
+
+
+def write_lines_as_cylinders(pcl, filename, rad=0.005, res=64):
+    """pcl: (N, 2, 3) segment endpoints -> ply mesh of cylinders
+    (pc_util.write_lines_as_cylinders:466+ without trimesh). Each segment
+    becomes an open tube with `res` rectangular sections (2*res triangles).
+    """
+    pcl = np.asarray(pcl).reshape(-1, 2, 3)
+    ang = np.linspace(0, 2 * np.pi, res, endpoint=False)
+    ring = np.stack([np.cos(ang) * rad, np.sin(ang) * rad,
+                     np.zeros(res)], axis=1)  # (res, 3) in local frame
+    verts, faces = [], []
+    for n, (src, tgt) in enumerate(pcl):
+        vec = tgt - src
+        length = np.linalg.norm(vec)
+        if length < 1e-12:
+            z = np.array([0.0, 0.0, 1.0])
+        else:
+            z = vec / length
+        # orthonormal frame around z
+        a = np.array([1.0, 0.0, 0.0]) if abs(z[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        x = np.cross(a, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        frame = np.stack([x, y, z], axis=1)  # columns
+        bottom = ring @ frame.T + src
+        top = ring @ frame.T + tgt
+        base = 2 * res * n
+        verts.append(bottom)
+        verts.append(top)
+        i = np.arange(res)
+        j = (i + 1) % res
+        faces.append(np.stack([base + i, base + j, base + res + i], axis=1))
+        faces.append(np.stack([base + j, base + res + j, base + res + i], axis=1))
+    verts = np.concatenate(verts) if verts else np.zeros((0, 3))
+    faces = np.concatenate(faces) if faces else np.zeros((0, 3), int)
+    _write_ply_mesh(verts, faces, filename)
 
 
 # --------------------------------------------------------------- dump_results

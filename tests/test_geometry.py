@@ -293,3 +293,91 @@ def test_nn_distance_variants_match_torch_semantics():
     np.testing.assert_allclose(np.asarray(d1b), d_ib.min(2), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(i1b), d_ib.argmin(2))
     np.testing.assert_allclose(np.asarray(d2b), d_ib.min(1), rtol=1e-4)
+
+
+def test_box_util_extras():
+    """Library-surface parity for box_util's auxiliary functions
+    (utils/box_util.py:77-109,152-250,309-332,384-411,442-521)."""
+    from iou3dmatch_tpu.geometry import (
+        roty_np, get_3d_box_depth_np, box3d_vol_batch_np, get_iou,
+        box2d_iou, box3d_iou_batch_np, corners3d_to_parameter,
+        check_valid_corners3d, get_3d_box_np, nms_2d, nms_2d_faster)
+    from iou3dmatch_tpu.eval.box3d_iou_np import (
+        convex_hull_intersection, is_clockwise, boxes3d_iou_batch)
+
+    # roty: rotating +z by pi/2 lands on +x
+    np.testing.assert_allclose(
+        roty_np(np.pi / 2) @ np.array([0, 0, 1.0]),
+        np.array([1.0, 0, 0]), atol=1e-12)
+
+    # depth-frame corners: axis-aligned box recovers its extents
+    c = get_3d_box_depth_np((2.0, 1.0, 3.0), 0.0, (5.0, 6.0, 7.0))
+    assert c.shape == (8, 3)
+    np.testing.assert_allclose(c.max(0) - c.min(0), [2.0, 1.0, 3.0])
+    np.testing.assert_allclose(0.5 * (c.max(0) + c.min(0)), [5.0, 6.0, 7.0])
+
+    # 2D IoUs
+    assert get_iou({'x1': 0, 'y1': 0, 'x2': 2, 'y2': 2},
+                   {'x1': 1, 'y1': 1, 'x2': 3, 'y2': 3}) == 1 / 7
+    assert box2d_iou((0, 0, 2, 2), (2, 2, 4, 4)) == 0.0
+
+    # paired axis-aligned corner IoU: identical boxes -> 1
+    corners = get_3d_box_np(np.array([1.0, 1.0, 1.0]), 0.3,
+                            np.array([0.0, 0.0, 0.0]))[None]
+    iou = box3d_iou_batch_np(corners, corners)
+    np.testing.assert_allclose(iou, [1.0], atol=1e-6)
+
+    # volume-batch quirk is preserved: sqrt of each edge length
+    v = box3d_vol_batch_np(corners)
+    edge = lambda i, j: np.linalg.norm(corners[0, i] - corners[0, j])
+    np.testing.assert_allclose(
+        v, [np.sqrt(edge(1, 2)) * np.sqrt(edge(0, 1)) * np.sqrt(edge(0, 4))],
+        rtol=1e-6)
+
+    # corner parameterization roundtrip (upright camera frame, heading 0.3)
+    params = corners3d_to_parameter(
+        get_3d_box_np(np.array([2.0, 1.0, 0.5]), 0.3, np.array([1., 2., 3.])))
+    np.testing.assert_allclose(params[3:6], [2.0, 1.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(params[6], 0.3, atol=1e-6)
+    # center mapping camera->depth: (x, z, -y)
+    np.testing.assert_allclose(params[0:3], [1.0, 3.0, -2.0], atol=1e-6)
+
+    assert check_valid_corners3d(corners[0])
+    bad = corners[0].copy()
+    bad[0] += 0.5
+    assert not check_valid_corners3d(bad)
+    assert not check_valid_corners3d(np.zeros((8, 3)))
+
+    # hull intersection of two unit squares offset by 0.5 -> area 0.25
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1)]  # CCW, as polygon_clip expects
+    sq2 = [(x + 0.5, y + 0.5) for (x, y) in sq]
+    _, area = convex_hull_intersection(sq, sq2)
+    np.testing.assert_allclose(area, 0.25, atol=1e-12)
+    assert is_clockwise(np.array([(0, 0), (0, 1), (1, 1), (1, 0)]))
+
+    # oriented cross IoU vs a manual per-pair computation. (Self-pairs of
+    # bit-identical boxes are degenerate in the reference too — scipy
+    # ConvexHull on the inf-vertex self-clip — so use distinct boxes.)
+    b1 = get_3d_box_np(np.array([2.0, 1.0, 1.5]), 0.3, np.array([0., 0., 0.]))
+    b2 = get_3d_box_np(np.array([1.5, 1.2, 1.0]), -0.2,
+                       np.array([0.3, 0.1, -0.2]))
+    b3 = b1 + 10.0  # disjoint from both
+    b2s = get_3d_box_np(np.array([1.4, 1.1, 0.9]), -0.25,
+                        np.array([0.4, 0.0, -0.1]))
+    m = boxes3d_iou_batch(np.stack([b1, b2]), np.stack([b2s, b3]))
+    assert m.shape == (2, 2)
+    assert m[0, 1] == 0.0 and m[1, 1] == 0.0
+    rect = lambda c: [(c[k, 0], c[k, 2]) for k in range(3, -1, -1)]
+    inter_area = convex_hull_intersection(rect(b1), rect(b2s))[1]
+    inter_y = min(b1[0, 1], b2s[0, 1]) - max(b1[4, 1], b2s[4, 1])
+    inter_vol = inter_area * max(0.0, inter_y)
+    vols = box3d_vol_batch_np(np.stack([b1, b2s]))
+    np.testing.assert_allclose(
+        m[0, 0], inter_vol / (vols[0] + vols[1] - inter_vol), rtol=1e-5)
+    assert 0.0 < m[0, 0] and 0.0 < m[1, 0]
+
+    # plain nms_2d == faster(old_type=True)
+    boxes = np.array([[0, 0, 2, 2, 0.9], [0.2, 0.2, 2.2, 2.2, 0.8],
+                      [5, 5, 6, 6, 0.7]])
+    assert sorted(nms_2d(boxes, 0.5)) == sorted(
+        nms_2d_faster(boxes, 0.5, old_type=True))
