@@ -154,6 +154,31 @@ def point_cloud_to_image_batch(point_clouds, imgsize, radius=1.0,
     ])
 
 
+# ------------------------------------------------------------------ drawing
+def pyplot_draw_point_cloud(points, output_filename=None):
+    """3D scatter of an (N,3) cloud via matplotlib; saves to
+    output_filename when given (pc_util.py:243-252 — the reference's
+    savefig call is commented out, ours actually saves)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    if output_filename:
+        fig.savefig(output_filename)
+    plt.close(fig)
+
+
+def pyplot_draw_volume(vol, output_filename=None):
+    """Draw an occupancy grid as its cell point cloud (pc_util.py:254-259)."""
+    pyplot_draw_point_cloud(volume_to_point_cloud(vol), output_filename)
+
+
 # ------------------------------------------------------------------- bboxes
 def bbox_corner_dist_measure(crnr1, crnr2):
     """Corner-distance similarity in [0,1] between two boxes given as (8,3)

@@ -31,12 +31,25 @@ OBJ_CLASS_IDS = np.array([3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 3
 MAX_NUM_POINT = 50000
 
 
+def represents_int(s):
+    """True iff ``s`` parses as an int (scannet_utils.py:19-25)."""
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
 def read_label_mapping(filename, label_from="raw_category", label_to="nyu40id"):
-    """raw category name -> nyu40 id from the ScanNet tsv."""
+    """raw category name -> nyu40 id from the ScanNet tsv
+    (scannet_utils.py:28-40: keys are converted to int when every key is
+    numeric, e.g. mapping nyu40id -> something)."""
     mapping = {}
     with open(filename) as f:
         for row in csv.DictReader(f, delimiter="\t"):
             mapping[row[label_from]] = int(row[label_to])
+    if mapping and all(represents_int(k) for k in mapping):
+        mapping = {int(k): v for k, v in mapping.items()}
     return mapping
 
 

@@ -250,3 +250,137 @@ def save_zipped_pickle(obj, filename, protocol=-1):
 def load_zipped_pickle(filename):
     with gzip.open(filename, "rb") as f:
         return pickle.load(f)
+
+
+def draw_boxes3d_in_point_cloud(gt_boxes3d, filename, rad=0.01, colors=None):
+    """Dump the 12 edges of each (8, 3)-corner box as a cylinder-line PLY
+    mesh (sunrgbd_utils.draw_boxes3d:318-343 rendered mayavi figures; this
+    dependency-free rebuild writes a mesh viewable in MeshLab instead).
+    gt_boxes3d: (n, 8, 3)."""
+    from ..utils.dump_helper import write_lines_as_cylinders
+
+    segments = []
+    for b in np.asarray(gt_boxes3d).reshape(-1, 8, 3):
+        for k in range(4):
+            i, j = k, (k + 1) % 4
+            segments.append([b[i], b[j]])
+            segments.append([b[i + 4], b[j + 4]])
+            segments.append([b[i], b[i + 4]])
+    write_lines_as_cylinders(np.array(segments), filename, rad=rad)
+
+
+class SunrgbdObject:
+    """Raw SUN RGB-D trainval accessor (sunrgbd/sunrgbd_data.py:31-72):
+    image / depth-.mat / calib / label files laid out by 6-digit index."""
+
+    def __init__(self, root_dir, split="training", use_v1=False):
+        self.root_dir = root_dir
+        self.split = split
+        assert self.split == "training"
+        self.split_dir = root_dir
+        self.num_samples = 10335
+        self.image_dir = f"{self.split_dir}/image"
+        self.calib_dir = f"{self.split_dir}/calib"
+        self.depth_dir = f"{self.split_dir}/depth"
+        self.label_dir = (f"{self.split_dir}/label_v1" if use_v1
+                          else f"{self.split_dir}/label")
+
+    def __len__(self):
+        return self.num_samples
+
+    def get_image(self, idx):
+        return load_image(f"{self.image_dir}/{idx:06d}.jpg")
+
+    def get_depth(self, idx):
+        return load_depth_points_mat(f"{self.depth_dir}/{idx:06d}.mat")
+
+    def get_calibration(self, idx):
+        return SUNRGBD_Calibration(f"{self.calib_dir}/{idx:06d}.txt")
+
+    def get_label_objects(self, idx):
+        return read_sunrgbd_label(f"{self.label_dir}/{idx:06d}.txt")
+
+
+# snake_case alias matching the reference class name (sunrgbd_data.py:31)
+sunrgbd_object = SunrgbdObject
+
+DEFAULT_TYPE_WHITELIST = ["bed", "table", "sofa", "chair", "toilet", "desk",
+                          "dresser", "night_stand", "bookshelf", "bathtub"]
+
+
+def get_box3d_dim_statistics(idx_filename, root_dir="./sunrgbd_trainval",
+                             type_whitelist=DEFAULT_TYPE_WHITELIST,
+                             save_path=None):
+    """Collect per-class box-dimension statistics over the raw labels
+    (sunrgbd_data.py:264-305). Returns {classname: mean (l, w, h)} and
+    optionally pickles (types, dims, headings)."""
+    dataset = SunrgbdObject(root_dir)
+    dimension_list, type_list, ry_list = [], [], []
+    for data_idx in [int(line.rstrip()) for line in open(idx_filename)]:
+        for obj in dataset.get_label_objects(data_idx):
+            if obj.classname not in type_whitelist:
+                continue
+            heading_angle = -1 * np.arctan2(obj.orientation[1],
+                                            obj.orientation[0])
+            dimension_list.append(np.array([obj.l, obj.w, obj.h]))
+            type_list.append(obj.classname)
+            ry_list.append(heading_angle)
+
+    if save_path is not None:
+        with open(save_path, "wb") as fp:
+            pickle.dump(type_list, fp)
+            pickle.dump(dimension_list, fp)
+            pickle.dump(ry_list, fp)
+
+    medians = {}
+    for class_type in sorted(set(type_list)):
+        dims = [dimension_list[i] for i in range(len(dimension_list))
+                if type_list[i] == class_type]
+        medians[class_type] = np.median(np.stack(dims), axis=0)
+    return medians
+
+
+def data_viz(data_dir, dump_dir="data_viz_dump", idx=1):
+    """Examine + visualize one raw SUN RGB-D scene (sunrgbd_data.py:74-137
+    without cv2/mayavi): writes the depth-colored projection image, the 2D
+    and projected-3D label boxes (Bresenham), and the cloud + 3D boxes as
+    PLY."""
+    import os
+
+    from ..utils.dump_helper import write_ply
+
+    os.makedirs(dump_dir, exist_ok=True)
+    dataset = SunrgbdObject(data_dir)
+    pc = dataset.get_depth(idx)
+    calib = dataset.get_calibration(idx)
+    uv, d = calib.project_upright_depth_to_image(pc[:, 0:3])
+
+    img = dataset.get_image(idx).copy()
+    h, w = img.shape[:2]
+    u = np.round(uv[:, 0]).astype(int)
+    v = np.round(uv[:, 1]).astype(int)
+    ok = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (d > 0)
+    depth_norm = np.clip(120.0 / np.maximum(d[ok], 1e-6), 0, 255) / 255.0
+    colors = (np.stack([depth_norm, 1 - depth_norm,
+                        np.abs(0.5 - depth_norm) * 2], axis=1) * 255)
+    img[v[ok], u[ok]] = colors.astype(np.uint8)
+    from PIL import Image
+    Image.fromarray(img).save(f"{dump_dir}/img_depth.jpg")
+
+    objects = dataset.get_label_objects(idx)
+    img2 = dataset.get_image(idx).copy()
+    boxes3d = []
+    for obj in objects:
+        for x in (int(obj.xmin), int(obj.xmax)):
+            _draw_line(img2, (x, obj.ymin), (x, obj.ymax), (0, 255, 0))
+        for y in (int(obj.ymin), int(obj.ymax)):
+            _draw_line(img2, (obj.xmin, y), (obj.xmax, y), (0, 255, 0))
+        box3d_pts_2d, box3d_pts_3d = compute_box_3d(obj, calib)
+        draw_projected_box3d(img2, box3d_pts_2d, color=(255, 0, 0))
+        boxes3d.append(box3d_pts_3d)
+    Image.fromarray(img2).save(f"{dump_dir}/img_boxes.jpg")
+
+    write_ply(pc[:, 0:3], f"{dump_dir}/pc.ply")
+    if boxes3d:
+        draw_boxes3d_in_point_cloud(
+            np.stack(boxes3d), f"{dump_dir}/label_boxes.ply")

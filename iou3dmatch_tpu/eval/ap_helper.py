@@ -138,8 +138,11 @@ def parse_predictions(ep, config_dict):
     return batch_pred_map_cls
 
 
-def parse_groundtruths(batch, config_dict):
-    """GT corners list (ap_helper.py:224-290), vectorized decode."""
+def groundtruths2corners3d(batch, config_dict):
+    """Decode GT labels to camera-frame corners (B, MAX_NUM_OBJ, 8, 3) and
+    depth-frame params (B, MAX_NUM_OBJ, 7) (ap_helper.py:238-275),
+    vectorized. Rows with box_label_mask==0 keep zero params/corners like
+    the reference's `continue`."""
     cfg = config_dict["dataset_config"]
     center = _to_np(batch["center_label"])[..., 0:3]
     heading_class = _to_np(batch["heading_class_label"])
@@ -147,24 +150,109 @@ def parse_groundtruths(batch, config_dict):
     size_class = _to_np(batch["size_class_label"])
     size_residual = _to_np(batch["size_residual_label"])
     mask = _to_np(batch["box_label_mask"])
-    sem = _to_np(batch["sem_cls_label"])
 
     heading_angle = cfg.class2angle(heading_class, heading_residual)
     box_size = cfg.mean_size_arr[size_class] + size_residual
     corners = get_3d_box_batch_np(
         box_size, heading_angle, flip_axis_to_camera(center)
     ).astype(np.float32)
+    params = np.zeros(center.shape[:2] + (7,), dtype=np.float32)
+    params[..., 0:3] = center
+    params[..., 3:6] = np.where(mask[..., None] == 1, box_size, 0.0)
+    params[..., 6] = np.where(mask == 1, heading_angle, 0.0)
+    corners = np.where(mask[..., None, None] == 1, corners, 0.0)
+    return corners, params
+
+
+def parse_groundtruths(batch, config_dict):
+    """GT corners list (ap_helper.py:224-290), vectorized decode."""
+    mask = _to_np(batch["box_label_mask"])
+    sem = _to_np(batch["sem_cls_label"])
+    corners, _ = groundtruths2corners3d(batch, config_dict)
 
     batch_gt_map_cls = []
-    for i in range(center.shape[0]):
+    for i in range(corners.shape[0]):
         batch_gt_map_cls.append(
             [
                 (int(sem[i, j]), corners[i, j])
-                for j in range(center.shape[1])
+                for j in range(corners.shape[1])
                 if mask[i, j] == 1
             ]
         )
     return batch_gt_map_cls
+
+
+def align_predictions_groundtruths(batch_pred_corners_3d, batch_gt_corners_3d,
+                                   batch, iou_threshold=0.5):
+    """For each predicted box, the best-overlapping GT box, a 0/1 fitness
+    flag (IoU >= threshold), and its semantic class (ap_helper.py:294-338).
+
+    batch_pred_corners_3d: (B, K, 8, 3) upright-camera corners;
+    batch_gt_corners_3d: (B, MAX_NUM_OBJ, 8, 3); batch provides
+    box_label_mask and sem_cls_label.
+    """
+    from .box3d_iou_np import box3d_iou
+
+    bsize, num_proposal = batch_pred_corners_3d.shape[:2]
+    box_label_mask = _to_np(batch["box_label_mask"])
+    sem_cls_label = _to_np(batch["sem_cls_label"])
+
+    batch_sem_cls_labels = np.zeros((bsize, num_proposal, 1), dtype=np.int64)
+    batch_confidence_scores = np.zeros((bsize, num_proposal, 1), np.float32)
+    batch_gt_corners_3d_aligned = np.zeros(
+        (bsize, num_proposal, 8, 3), dtype=np.float32)
+
+    for i in range(bsize):
+        cur_mask = np.nonzero(box_label_mask[i])
+        gt_corners_3d = batch_gt_corners_3d[i][cur_mask]
+        gt_classes = sem_cls_label[i][cur_mask]
+        for j in range(num_proposal):
+            bb = batch_pred_corners_3d[i, j]
+            iou_list = [box3d_iou(bb, bbgt)[0] for bbgt in gt_corners_3d]
+            if iou_list:
+                iou_list = np.array(iou_list)
+                max_ind = np.argmax(iou_list)
+                batch_gt_corners_3d_aligned[i, j] = gt_corners_3d[max_ind]
+                batch_sem_cls_labels[i, j] = gt_classes[max_ind]
+                if iou_list.max() >= iou_threshold:
+                    batch_confidence_scores[i, j] = 1.0
+    return (batch_gt_corners_3d_aligned, batch_confidence_scores,
+            batch_sem_cls_labels)
+
+
+def get_roi_ptcloud(inputs, batch_pred_boxes_params, enlarge_ratio=1.2,
+                    num_point_roi=512, min_num_point=100, rng=None):
+    """Crop + resample the scene cloud inside each (enlarged) predicted box
+    (ap_helper.py:341-379). Returns ((B, K, num_point_roi, C) clouds,
+    (B, K) nonempty mask; boxes with < min_num_point points stay zero with
+    mask 0)."""
+    from ..data.pc_util import random_sampling
+    from ..data.sunrgbd_calib import extract_pc_in_box3d
+    from ..geometry.boxes import flip_axis_to_depth, get_3d_box_np
+
+    batch_pc = _to_np(inputs["point_clouds"])
+    batch_pred_boxes_params = _to_np(batch_pred_boxes_params)
+    bsize, k = batch_pred_boxes_params.shape[:2]
+    batch_pc_roi = np.zeros(
+        (bsize, k, num_point_roi, batch_pc.shape[2]), dtype=np.float32)
+    nonempty_roi_mask = np.ones((bsize, k))
+
+    for i in range(bsize):
+        pc = batch_pc[i]
+        for j in range(k):
+            box_params = batch_pred_boxes_params[i, j]
+            center_upright_camera = flip_axis_to_camera(box_params[0:3])
+            box3d = get_3d_box_np(
+                box_params[3:6] * enlarge_ratio, box_params[6],
+                center_upright_camera)
+            box3d = flip_axis_to_depth(box3d)
+            pc_in_box, _ = extract_pc_in_box3d(pc, box3d)
+            if len(pc_in_box) >= min_num_point:
+                batch_pc_roi[i, j] = random_sampling(
+                    pc_in_box, num_point_roi, rng=rng)
+            else:
+                nonempty_roi_mask[i, j] = 0
+    return batch_pc_roi, nonempty_roi_mask
 
 
 class APCalculator:

@@ -10,6 +10,14 @@ import numpy as np
 from .box3d_iou_np import box3d_iou
 
 
+def get_iou(bb1, bb2):
+    """Axis-aligned 3D IoU on 6-dim (center, lengths) boxes — the
+    reference's pluggable default (eval_det.py:66-71)."""
+    from ..utils.metrics import calc_iou
+
+    return calc_iou(bb1, bb2)
+
+
 def get_iou_obb(bb1, bb2):
     from ..native import box3d_iou_native
 
@@ -18,6 +26,11 @@ def get_iou_obb(bb1, bb2):
         return res[0]
     iou3d, _ = box3d_iou(bb1, bb2)
     return iou3d
+
+
+def get_iou_main(get_iou_func, args):
+    """Dispatcher kept for surface parity (eval_det.py:80-81)."""
+    return get_iou_func(*args)
 
 
 def voc_ap(rec, prec, use_07_metric=False):

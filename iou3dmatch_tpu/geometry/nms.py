@@ -44,6 +44,29 @@ def _nms_loop(boxes, overlap_threshold, old_type, same_cls, lhs, area_eps):
     return pick
 
 
+def nms_crnr_dist(boxes, conf, overlap_threshold):
+    """NMS by corner-distance similarity instead of IoU
+    (utils/nms.py:215-230): boxes (n, 8, 3) camera-frame corners, conf (n,).
+    Suppresses boxes whose `bbox_corner_dist_measure` to the current top
+    box exceeds overlap_threshold."""
+    from ..data.pc_util import bbox_corner_dist_measure
+
+    boxes = np.asarray(boxes)
+    order = np.argsort(np.asarray(conf))
+    pick = []
+    while order.size != 0:
+        last = order.size
+        i = order[-1]
+        pick.append(int(i))
+        scores = [bbox_corner_dist_measure(boxes[i], boxes[ind])
+                  for ind in order[:-1]]
+        order = np.delete(
+            order,
+            np.concatenate(([last - 1],
+                            np.where(np.array(scores) > overlap_threshold)[0])))
+    return pick
+
+
 def nms_2d(boxes, overlap_threshold):
     """Plain (pairwise-loop) 2D NMS with intersection/area overlap; boxes
     (n, 5) [x1,y1,x2,y2,score] (utils/nms.py:20-49, sans its debug print).

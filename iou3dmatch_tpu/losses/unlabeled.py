@@ -55,6 +55,51 @@ def trans_angle(angle_class, angle_residual, flip_x, flip_y, rot_angle, cfg):
     return cfg.angle2class_jnp(angle)
 
 
+def reverse_trans_center(center, flip_x, flip_y, rot_mat, scale):
+    """Student-frame box centers -> teacher-frame: the inverse of
+    trans_center (loss_helper_unlabeled.py:67-79; note the NON-transposed
+    rot_mat bmm and the 1/scale)."""
+    x = jnp.where(flip_x[:, None] > 0, -center[..., 0], center[..., 0])
+    y = jnp.where(flip_y[:, None] > 0, -center[..., 1], center[..., 1])
+    c = jnp.stack([x, y, center[..., 2]], axis=-1)
+    c = jnp.einsum("bkc,bcd->bkd", c, rot_mat,
+                   precision=jax.lax.Precision.HIGHEST)
+    return c * (1.0 / scale)
+
+
+def compute_objectness_gt(ep, gt_labels, num_labeled):
+    """Cheating objectness diagnostics against the REAL labels of the
+    unlabeled rows (view-stats only, loss_helper_unlabeled.py:82-135).
+
+    Returns (objectness_loss, objectness_label, objectness_mask,
+    object_assignment, stats) where stats carries 'true_unlabeled_obj_acc'.
+    """
+    nl = num_labeled
+    aggregated_vote_xyz = ep["aggregated_vote_xyz"][nl:]
+    gt_center = jnp.where(
+        gt_labels["box_label_mask"][..., None] > 0,
+        gt_labels["center_label"][..., 0:3], -1000.0)
+
+    dist1, ind1, _, _ = nn_distance(aggregated_vote_xyz, gt_center)
+    euclid = jnp.sqrt(dist1 + 1e-6)
+    objectness_label = (euclid < NEAR_THRESHOLD).astype(jnp.int32)
+    objectness_mask = ((euclid < NEAR_THRESHOLD)
+                       | (euclid > FAR_THRESHOLD)).astype(jnp.float32)
+
+    objectness_scores = ep["objectness_scores"][nl:]
+    per = cross_entropy(
+        objectness_scores, objectness_label, OBJECTNESS_CLS_WEIGHTS)
+    mask_sum = jnp.sum(objectness_mask) + 1e-6
+    objectness_loss = jnp.sum(per * objectness_mask) / mask_sum
+
+    obj_pred = jnp.argmax(objectness_scores, axis=2)
+    obj_acc = jnp.sum(
+        (obj_pred == objectness_label).astype(jnp.float32) * objectness_mask
+    ) / mask_sum
+    stats = {"true_unlabeled_obj_acc": obj_acc}
+    return objectness_loss, objectness_label, objectness_mask, ind1, stats
+
+
 # ------------------------------------------------------------ pseudo labels
 def get_pseudo_labels(teacher: Dict, cfg, obj_threshold, cls_threshold,
                       iou_threshold, nms_iou, use_lhs=True, gt_labels=None):
@@ -339,6 +384,11 @@ def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
     obj_loss, obj_label, obj_mask, assignment = _pseudo_objectness(
         ep, pseudo, nl, samecls_match
     )
+    if gt_labels is not None:
+        # cheating objectness accuracy vs the real labels (view-stats,
+        # loss_helper_unlabeled.py:321-323)
+        *_, gt_stats = compute_objectness_gt(ep, gt_labels, nl)
+        m.update(gt_stats)
     m["unlabeled_objectness_loss"] = obj_loss
     total_props = obj_label.size
     m["unlabeled_pos_ratio"] = jnp.sum(obj_label.astype(jnp.float32)) / total_props

@@ -57,6 +57,30 @@ class BatchNorm(nn.Module):
         return ((x - mean) * inv * scale + bias).astype(in_dtype)
 
 
+class RandomDropout(nn.Module):
+    """Whole-feature (channel) dropout with a freshly sampled rate.
+
+    Mirrors `pointnet2/pointnet2_utils.py:41-49`: each forward draws
+    theta ~ U(0, p) and zeroes entire channels with probability theta,
+    WITHOUT the usual 1/(1-theta) rescale (torch feature_dropout_no_scaling
+    semantics). Channels-last input (..., C); needs the 'dropout' rng
+    stream when train=True.
+    """
+
+    p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if not train or self.p == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        theta_rng, mask_rng = jax.random.split(rng)
+        theta = jax.random.uniform(theta_rng, (), minval=0.0, maxval=self.p)
+        c = x.shape[-1]
+        keep = jax.random.uniform(mask_rng, (c,)) >= theta
+        return x * keep.astype(x.dtype)
+
+
 class SharedMLP(nn.Module):
     """Dense -> BN -> ReLU stack applied pointwise over the channel axis.
 

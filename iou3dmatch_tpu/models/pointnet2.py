@@ -227,6 +227,56 @@ class PointnetFPModule(nn.Module):
         )
 
 
+class QueryAndGroup(nn.Module):
+    """Standalone ball-query grouper (pointnet2_utils.QueryAndGroup,
+    pointnet2/pointnet2_utils.py:295-377). Channels-last: returns
+    (B, npoint, nsample, 3+C) instead of the reference's channels-first
+    layout. ``sample_uniformly`` needs the 'grouping' rng stream."""
+
+    radius: float
+    nsample: int
+    use_xyz: bool = True
+    ret_grouped_xyz: bool = False
+    normalize_xyz: bool = False
+    sample_uniformly: bool = False
+    ret_unique_cnt: bool = False
+    exact_ball_query: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, new_xyz, features=None):
+        if self.ret_unique_cnt:
+            assert self.sample_uniformly  # pointnet2_utils.py:315-316
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz,
+                         exact=self.exact_ball_query)
+        unique_cnt = None
+        if self.sample_uniformly:
+            idx, unique_cnt = uniform_resample_idx(
+                idx, self.make_rng("grouping"))
+
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+
+        if features is not None:
+            grouped_features = group_points(features, idx)
+            if self.use_xyz:
+                new_features = jnp.concatenate(
+                    [grouped_xyz, grouped_features], axis=-1)
+            else:
+                new_features = grouped_features
+        else:
+            assert self.use_xyz, \
+                "Cannot have not features and not use xyz as a feature!"
+            new_features = grouped_xyz
+
+        ret = [new_features]
+        if self.ret_grouped_xyz:
+            ret.append(grouped_xyz)
+        if self.ret_unique_cnt:
+            ret.append(unique_cnt)
+        return ret[0] if len(ret) == 1 else tuple(ret)
+
+
 class GroupAll(nn.Module):
     """Group ALL points into one neighborhood (pointnet2_utils.GroupAll,
     pointnet2/pointnet2_utils.py:380-426): used by SA modules with

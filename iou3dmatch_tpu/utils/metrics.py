@@ -1,54 +1,83 @@
-"""Axis-aligned IoU + scene precision/recall metrics.
+"""Axis-aligned IoU + scene precision/recall metrics (host NumPy).
 
-Mirrors `utils/metric_util.py` of the reference: ``calc_iou`` on
-(center, extent) boxes and greedy per-scene precision/recall used as the
-default ``get_iou_func`` fallback in detection eval.
+Mirrors `utils/metric_util.py` of the reference exactly: ``calc_iou`` on
+6-dim (center, lengths) boxes, per-scene greedy TP/FP/FN counting, and the
+multi-scene aggregate.
 """
 import numpy as np
 
 
 def calc_iou(box_a, box_b):
-    """Axis-aligned 3D IoU of two boxes given as corner arrays (8, 3) or
-    min/max form; computed on the AABB of the inputs (metric_util.calc_iou)."""
+    """Axis-aligned 3D IoU of two 6-dim boxes [cx,cy,cz,lx,ly,lz]
+    (metric_util.py:107-131)."""
     box_a, box_b = np.asarray(box_a), np.asarray(box_b)
-    a_min, a_max = box_a.reshape(-1, 3).min(0), box_a.reshape(-1, 3).max(0)
-    b_min, b_max = box_b.reshape(-1, 3).min(0), box_b.reshape(-1, 3).max(0)
-    inter = np.maximum(np.minimum(a_max, b_max) - np.maximum(a_min, b_min), 0)
-    vi = inter.prod()
-    va = (a_max - a_min).prod()
-    vb = (b_max - b_min).prod()
-    denom = va + vb - vi
-    return float(vi / denom) if denom > 0 else 0.0
+    max_a = box_a[0:3] + box_a[3:6] / 2
+    max_b = box_b[0:3] + box_b[3:6] / 2
+    min_max = np.array([max_a, max_b]).min(0)
+    min_a = box_a[0:3] - box_a[3:6] / 2
+    min_b = box_b[0:3] - box_b[3:6] / 2
+    max_min = np.array([min_a, min_b]).max(0)
+    if not (min_max > max_min).all():
+        return 0.0
+    intersection = (min_max - max_min).prod()
+    vol_a = box_a[3:6].prod()
+    vol_b = box_b[3:6].prod()
+    union = vol_a + vol_b - intersection
+    return 1.0 * intersection / union
 
 
-def eval_det_scene(pred, gt, iou_thresh=0.25, get_iou_func=calc_iou):
-    """Greedy matching of one scene's detections to GT; returns
-    (tp, fp, fn). pred: list of boxes (already score-sorted), gt: list."""
-    matched = np.zeros(len(gt), bool)
-    tp = fp = 0
-    for p in pred:
-        best, best_iou = -1, iou_thresh
-        for j, g in enumerate(gt):
-            if matched[j]:
-                continue
-            iou = get_iou_func(p, g)
-            if iou >= best_iou:
-                best, best_iou = j, iou
-        if best >= 0:
-            matched[best] = True
-            tp += 1
-        else:
-            fp += 1
-    fn = int((~matched).sum())
+def single_scene_precision_recall(labels, pred, iou_thresh, conf_thresh):
+    """One scene's TP/FP/FN, class-agnostic (metric_util.py:61-96).
+
+    labels: (N, >=6) GT boxes [center, lengths]; pred: (M, >=7) predicted
+    boxes with confidence in column 6. A GT box counts as matched if ANY
+    confident prediction overlaps it >= iou_thresh (no one-to-one greedy
+    assignment — reference semantics).
+    """
+    labels, pred = np.asarray(labels), np.asarray(pred)
+    gt_bboxes = labels[:, :6]
+    num_scene_bboxes = gt_bboxes.shape[0]
+    conf = pred[:, 6]
+    conf_pred_bbox = pred[np.where(conf > conf_thresh)[0], :6]
+    num_conf_pred_bboxes = conf_pred_bbox.shape[0]
+
+    iou_arr = np.zeros([num_conf_pred_bboxes, num_scene_bboxes])
+    for g_idx in range(num_conf_pred_bboxes):
+        for s_idx in range(num_scene_bboxes):
+            iou_arr[g_idx, s_idx] = calc_iou(
+                conf_pred_bbox[g_idx, :], gt_bboxes[s_idx, :])
+
+    good_match_arr = iou_arr >= iou_thresh
+    tp = good_match_arr.any(axis=1).sum()
+    fp = num_conf_pred_bboxes - tp
+    fn = num_scene_bboxes - good_match_arr.any(axis=0).sum()
     return tp, fp, fn
 
 
-def precision_recall(preds, gts, iou_thresh=0.25, get_iou_func=calc_iou):
-    """Dataset-level precision/recall over per-scene lists."""
-    tp = fp = fn = 0
-    for p, g in zip(preds, gts):
-        t, f, n = eval_det_scene(p, g, iou_thresh, get_iou_func)
-        tp, fp, fn = tp + t, fp + f, fn + n
-    prec = tp / (tp + fp) if tp + fp else 0.0
-    rec = tp / (tp + fn) if tp + fn else 0.0
+def multi_scene_precision_recall(labels, pred, iou_thresh, conf_thresh,
+                                 label_mask, pred_mask=None):
+    """Batch aggregate of single_scene_precision_recall
+    (metric_util.py:28-58). labels: (B, N, 6); pred: (B, M, 7);
+    masks: (B, N)/(B, M) in {0, 1}. Returns TP, FP, FN, (Prec, Rec)."""
+    labels, pred = np.asarray(labels), np.asarray(pred)
+    if label_mask is None:
+        label_mask = np.ones((labels.shape[0], labels.shape[1]))
+    if pred_mask is None:
+        pred_mask = np.ones((pred.shape[0], pred.shape[1]))
+    TP, FP, FN = 0, 0, 0
+    for batch_idx in range(labels.shape[0]):
+        TP_i, FP_i, FN_i = single_scene_precision_recall(
+            labels[batch_idx, label_mask[batch_idx, :] == 1, :],
+            pred[batch_idx, pred_mask[batch_idx, :] == 1, :],
+            iou_thresh, conf_thresh)
+        TP += TP_i
+        FP += FP_i
+        FN += FN_i
+    return TP, FP, FN, precision_recall(TP, FP, FN)
+
+
+def precision_recall(TP, FP, FN):
+    """(TP, FP, FN) -> (precision, recall) (metric_util.py:99-103)."""
+    prec = 1.0 * TP / (TP + FP) if TP + FP > 0 else 0
+    rec = 1.0 * TP / (TP + FN)
     return prec, rec

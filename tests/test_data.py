@@ -245,3 +245,65 @@ def test_data_viz_cli(tmp_path, capsys):
         assert head.startswith("ply")
     # colored dumps carry uchar rgb properties
     assert "uchar red" in open(os.path.join(out, "scene_semantic.ply")).read(400)
+
+
+def test_dataset_viz_helpers(tmp_path):
+    """viz_votes / viz_obb dump parseable PLYs for both datasets
+    (scannet_detection_dataset.py:262-296, sunrgbd_detection_dataset.py:248-286)."""
+    from iou3dmatch_tpu.data import scannet as sc
+    from iou3dmatch_tpu.data import sunrgbd as su
+
+    rng = np.random.RandomState(0)
+    pc = rng.randn(100, 3).astype(np.float32)
+    votes = rng.randn(100, 9).astype(np.float32) * 0.1
+    mask = (rng.rand(100) > 0.5).astype(np.float32)
+    d = str(tmp_path)
+    sc.viz_votes(pc, votes, mask, name="_t", out_dir=d)
+    assert (tmp_path / "pc_obj_t.ply").exists()
+    assert (tmp_path / "pc_obj_voted1_t.ply").exists()
+    su.viz_votes(pc, votes, mask, out_dir=d)
+    assert (tmp_path / "pc_obj_voted3.ply").exists()
+
+    label = rng.uniform(-2, 2, (4, 3))
+    bmask = np.array([1, 1, 0, 1])
+    acls = np.zeros(4, int)
+    ares = np.zeros(4)
+    scls = np.array([0, 1, 2, 3])
+    sres = np.zeros((4, 3))
+    sc.viz_obb(pc, label, bmask, acls, ares, scls, sres, name="_t", out_dir=d)
+    txt = (tmp_path / "gt_obbs_t.ply").read_text()
+    assert f"element vertex {8 * 3}" in txt  # 3 unmasked boxes
+    su.viz_obb(pc, label, bmask, acls, ares, scls, sres, out_dir=d)
+    assert (tmp_path / "gt_obbs.ply").exists()
+    assert (tmp_path / "gt_centroids.ply").exists()
+
+
+def test_sunrgbd_sem_cls_statistics():
+    """Counts masked boxes per class (fixes the reference's index bug,
+    sunrgbd_detection_dataset.py:288-303)."""
+    from iou3dmatch_tpu.data.sunrgbd import get_sem_cls_statistics
+
+    fake = [
+        {"sem_cls_label": np.array([0, 3, 3, 9]),
+         "box_label_mask": np.array([1, 1, 1, 0])},
+        {"sem_cls_label": np.array([3, 5]),
+         "box_label_mask": np.array([0, 1])},
+    ]
+    cnt = get_sem_cls_statistics(fake)
+    assert cnt == {0: 1, 3: 2, 5: 1}
+
+
+def test_represents_int_and_mapping(tmp_path):
+    """scannet_utils parity: numeric-key TSVs come back with int keys."""
+    from iou3dmatch_tpu.data.prep_scannet import (
+        read_label_mapping, represents_int)
+
+    assert represents_int("42") and not represents_int("4x")
+    p = tmp_path / "m.tsv"
+    p.write_text("raw_category\tnyu40id\nchair\t5\ntable\t7\n")
+    m = read_label_mapping(str(p))
+    assert m == {"chair": 5, "table": 7}
+    p2 = tmp_path / "m2.tsv"
+    p2.write_text("nyu40id\tid\n5\t1\n7\t2\n")
+    m2 = read_label_mapping(str(p2), label_from="nyu40id", label_to="id")
+    assert m2 == {5: 1, 7: 2}  # int keys, scannet_utils.py:41-42

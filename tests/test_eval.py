@@ -111,3 +111,68 @@ def test_duplicate_proposals_suppressed_by_nms():
     for c, corners, score in preds[0]:
         kept.add(tuple(np.asarray(corners).ravel().round(4)))
     assert len(kept) == 1
+
+
+def test_get_iou_dispatchers():
+    """eval_det.get_iou (6-dim axis-aligned default) + get_iou_main."""
+    from iou3dmatch_tpu.eval.eval_det import get_iou, get_iou_main
+
+    bb = np.array([0, 0, 0, 2.0, 2.0, 2.0])
+    assert get_iou(bb, bb) == 1.0
+    shifted = bb.copy()
+    shifted[0] = 1.0
+    np.testing.assert_allclose(get_iou(bb, shifted), 1 / 3)
+    assert get_iou_main(get_iou, (bb, bb)) == 1.0
+
+
+def test_groundtruths2corners3d_align_and_roi():
+    """groundtruths2corners3d params/corners; align_predictions_groundtruths
+    matches identical boxes with fitness 1; get_roi_ptcloud crops + samples
+    (ap_helper.py:238-275,294-338,341-379)."""
+    from iou3dmatch_tpu.eval.ap_helper import (
+        align_predictions_groundtruths, get_roi_ptcloud,
+        groundtruths2corners3d, predictions2corners3d)
+
+    cfg = ScannetConfig()
+    rng = np.random.RandomState(3)
+    centers = rng.uniform(-3, 3, (4, 3)).astype(np.float32)
+    cls = np.array([0, 1, 2, 3])
+    batch = {
+        "center_label": jnp.asarray(centers[None]),
+        "heading_class_label": jnp.zeros((1, 4), jnp.int32),
+        "heading_residual_label": jnp.zeros((1, 4)),
+        "size_class_label": jnp.asarray(cls[None]),
+        "size_residual_label": jnp.zeros((1, 4, 3)),
+        "sem_cls_label": jnp.asarray(cls[None]),
+        "box_label_mask": jnp.asarray(np.array([[1, 1, 1, 0]], np.float32)),
+    }
+    gt_corners, gt_params = groundtruths2corners3d(batch, _config_dict(cfg))
+    assert gt_corners.shape == (1, 4, 8, 3) and gt_params.shape == (1, 4, 7)
+    np.testing.assert_allclose(gt_params[0, :3, 0:3], centers[:3], atol=1e-6)
+    np.testing.assert_allclose(
+        gt_params[0, :3, 3:6], cfg.mean_size_arr[cls[:3]], atol=1e-6)
+    # masked slot -> zero corners/size
+    assert np.all(gt_corners[0, 3] == 0) and np.all(gt_params[0, 3, 3:] == 0)
+
+    # predictions == GT -> perfect alignment for every proposal
+    ep = _fake_ep(cfg, centers, cls)
+    pred_corners, pred_params = predictions2corners3d(ep, _config_dict(cfg))
+    aligned, conf, sem = align_predictions_groundtruths(
+        pred_corners, gt_corners, batch, iou_threshold=0.5)
+    np.testing.assert_allclose(conf[0, :3, 0], 1.0)
+    np.testing.assert_array_equal(sem[0, :3, 0], cls[:3])
+    np.testing.assert_allclose(aligned[0, :3], gt_corners[0, :3], atol=1e-5)
+
+    # ROI crop: points packed inside box 0 are kept, far points exclude box
+    box = pred_params[:, :1, :]  # (1, 1, 7)
+    inside = centers[0] + rng.uniform(-0.05, 0.05, (400, 3))
+    cloud = np.concatenate([inside, np.full((100, 3), 50.0)]).astype(np.float32)
+    roi, mask = get_roi_ptcloud(
+        {"point_clouds": cloud[None]}, box, num_point_roi=64,
+        min_num_point=100, rng=np.random.RandomState(0))
+    assert roi.shape == (1, 1, 64, 3) and mask[0, 0] == 1
+    assert np.abs(roi[0, 0] - centers[0]).max() < 0.2
+    far_box = box.copy()
+    far_box[..., 0:3] += 200.0
+    _, mask2 = get_roi_ptcloud({"point_clouds": cloud[None]}, far_box)
+    assert mask2[0, 0] == 0

@@ -381,3 +381,17 @@ def test_box_util_extras():
                       [5, 5, 6, 6, 0.7]])
     assert sorted(nms_2d(boxes, 0.5)) == sorted(
         nms_2d_faster(boxes, 0.5, old_type=True))
+
+
+def test_nms_crnr_dist():
+    """Corner-distance NMS (utils/nms.py:215-230): identical boxes collapse
+    to the highest-confidence one; distant boxes survive."""
+    from iou3dmatch_tpu.geometry.nms import nms_crnr_dist
+    from iou3dmatch_tpu.geometry import get_3d_box_np
+
+    b = get_3d_box_np(np.array([1.0, 1.0, 1.0]), 0.0, np.array([0., 0., 0.]))
+    far = get_3d_box_np(np.array([1.0, 1.0, 1.0]), 0.0, np.array([9., 9., 9.]))
+    boxes = np.stack([b, b + 1e-4, far])
+    conf = np.array([0.9, 0.5, 0.8])
+    pick = nms_crnr_dist(boxes, conf, overlap_threshold=0.7)
+    assert set(pick) == {0, 2}

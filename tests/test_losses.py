@@ -233,3 +233,124 @@ def test_unlabeled_loss_end_to_end(cfg):
     assert float(m["pseudo_gt_ratio"]) > 0
     want = (m["unlabeled_box_loss"] + 0.1 * m["unlabeled_sem_cls_loss"]) * 10.0
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-6)
+
+
+def test_compute_iou_from_given_size(cfg):
+    """Explicit-parameter IoU labels match compute_iou_labels on the same
+    argmax-decoded boxes (loss_helper_iou.py:22-49)."""
+    from iou3dmatch_tpu.losses.iou_labels import (
+        compute_iou_from_given_size, pred_boxes_from_scores)
+
+    rng = np.random.RandomState(1)
+    batch = _mk_batch(rng, cfg)
+    ep = _mk_ep(rng, cfg, batch, perfect=True)
+    ref_iou, _, ref_assign = compute_iou_labels(
+        batch, ep["aggregated_vote_xyz"], ep["center"],
+        ep["heading_scores"], ep["heading_residuals"],
+        ep["size_scores"], ep["size_residuals"], cfg,
+    )
+    pred = pred_boxes_from_scores(
+        ep["center"], ep["heading_scores"], ep["heading_residuals"],
+        ep["size_scores"], ep["size_residuals"], cfg,
+    )
+    iou, pred_bbox, assign = compute_iou_from_given_size(
+        batch, pred[..., 0:3], pred[..., 3:6], -pred[..., 6], cfg)
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(assign), np.asarray(ref_assign))
+    np.testing.assert_allclose(np.asarray(pred_bbox), np.asarray(pred),
+                               rtol=1e-6)
+    # degenerate sizes are clamped to 1e-6, never <= 0
+    iou0, bb0, _ = compute_iou_from_given_size(
+        batch, pred[..., 0:3], jnp.zeros_like(pred[..., 3:6]),
+        -pred[..., 6], cfg)
+    assert np.asarray(bb0)[..., 3:6].min() > 0
+    assert np.isfinite(np.asarray(iou0)).all()
+
+
+def test_compute_iou_labels_axis_aligned(cfg):
+    """Axis-aligned IoU labels: perfect zero-heading predictions give
+    IoU ~1 at matched proposals; zero-IoU rows keep the original
+    assignment (loss_helper_iou.py:115-152)."""
+    from iou3dmatch_tpu.losses.iou_labels import compute_iou_labels_axis_aligned
+
+    rng = np.random.RandomState(2)
+    batch = _mk_batch(rng, cfg)
+    ep = _mk_ep(rng, cfg, batch, perfect=True)
+    origin = jnp.asarray(rng.randint(0, G, (B, K)))
+    iou, zero_mask, assign, stats = compute_iou_labels_axis_aligned(
+        batch, ep["aggregated_vote_xyz"], ep["center"],
+        ep["size_scores"], ep["size_residuals"], origin, cfg)
+    iou = np.asarray(iou)
+    assert iou.shape == (B, K) and 0 <= iou.min() and iou.max() <= 1 + 1e-6
+    if np.asarray(cfg.num_heading_bin) == 1:  # scannet: heading exactly 0
+        assert (iou[:, : (K // G) * G].reshape(B, -1, G).max(-1) > 0.99).all()
+    # zero-IoU proposals fall back to the origin assignment
+    zm = np.asarray(zero_mask)
+    np.testing.assert_array_equal(
+        np.asarray(assign)[zm == 1], np.asarray(origin)[zm == 1])
+    assert 0 <= float(stats["acc_pred_iou"]) <= 1
+
+
+def test_reverse_trans_center_roundtrip():
+    """reverse_trans_center inverts trans_center
+    (loss_helper_unlabeled.py:24-36,67-79)."""
+    from iou3dmatch_tpu.losses.unlabeled import (
+        reverse_trans_center, trans_center)
+
+    rng = np.random.RandomState(5)
+    center = jnp.asarray(rng.randn(2, 6, 3).astype(np.float32))
+    flip_x = jnp.asarray([1, 0])
+    flip_y = jnp.asarray([0, 1])
+    ang = rng.uniform(-0.5, 0.5, 2)
+    rot_mat = jnp.asarray(np.stack([
+        np.array([[np.cos(a), -np.sin(a), 0],
+                  [np.sin(a), np.cos(a), 0], [0, 0, 1]]) for a in ang
+    ]).astype(np.float32))
+    # isotropic per-scene scale, like the datasets' global scale augment
+    # (anisotropic scale would not commute with the rotation)
+    scale = jnp.asarray(
+        np.tile(rng.uniform(0.9, 1.1, (2, 1, 1)), (1, 1, 3)).astype(np.float32))
+    # no flips: exact inverse (c @ R^T * s) @ R / s == c
+    zero = jnp.zeros((2,))
+    fwd = trans_center(center, zero, zero, rot_mat, scale)
+    back = reverse_trans_center(fwd, zero, zero, rot_mat, scale)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(center),
+                               rtol=1e-4, atol=1e-5)
+    # flips with identity rotation: also an exact inverse (reference applies
+    # flips BEFORE the rotation in both directions, so flips only commute
+    # out with R == I)
+    eye = jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1))
+    fwd2 = trans_center(center, flip_x, flip_y, eye, scale)
+    back2 = reverse_trans_center(fwd2, flip_x, flip_y, eye, scale)
+    np.testing.assert_allclose(np.asarray(back2), np.asarray(center),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_compute_objectness_gt(cfg):
+    """Cheating objectness diagnostics (loss_helper_unlabeled.py:82-135):
+    aggregated votes at GT centers -> label 1 and near-perfect accuracy
+    when scores agree."""
+    from iou3dmatch_tpu.losses.unlabeled import compute_objectness_gt
+
+    rng = np.random.RandomState(6)
+    batch = _mk_batch(rng, cfg)
+    gt_labels = {k: v for k, v in batch.items()}
+    centers = np.asarray(batch["center_label"])  # (B, G, 3)
+    # proposals: first G sit on GT centers, rest far away
+    agg = np.full((B, K, 3), 40.0, np.float32)
+    agg[:, :G] = centers
+    scores = np.zeros((B, K, 2), np.float32)
+    scores[:, :G - 1, 1] = 5.0  # objects -> positive
+    scores[:, G - 1:, 0] = 5.0  # masked-GT slot + far -> negative
+    ep = {
+        "aggregated_vote_xyz": jnp.asarray(np.concatenate([agg, agg])),
+        "objectness_scores": jnp.asarray(np.concatenate([scores, scores])),
+    }
+    loss, label, mask, assign, stats = compute_objectness_gt(ep, gt_labels, B)
+    label = np.asarray(label)
+    # masked GT slot G-1 centers go to -1000 -> its proposal is NOT near
+    assert label.shape == (B, K)
+    assert (label[:, : G - 1] == 1).all() and (label[:, G:] == 0).all()
+    assert float(stats["true_unlabeled_obj_acc"]) > 0.99
+    assert np.isfinite(float(loss))

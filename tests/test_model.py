@@ -241,3 +241,61 @@ def test_bf16_compute_close_to_f32():
     assert b.dtype == np.float32  # outputs cast back
     # bf16 has ~3 decimal digits; logits should broadly agree
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
+
+
+def test_random_dropout():
+    """RandomDropout (pointnet2_utils.py:41-49): eval = identity; train
+    zeroes whole channels with NO 1/(1-p) rescale."""
+    from iou3dmatch_tpu.models.mlp import RandomDropout
+
+    x = jnp.ones((4, 32, 64))
+    mod = RandomDropout(p=0.9)
+    vars_ = mod.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(mod.apply(vars_, x, train=False)), np.asarray(x))
+    out = np.asarray(mod.apply(
+        vars_, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)}))
+    # surviving entries keep their exact value (no scaling); zeroed entries
+    # span whole channels
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    chan = out.reshape(-1, 64)
+    per_chan = chan.max(0) - chan.min(0)
+    assert np.all(per_chan == 0)  # each channel all-kept or all-dropped
+
+
+def test_query_and_group_matches_inline_grouping():
+    """Standalone QueryAndGroup equals the manual ball_query+group_points
+    composition (pointnet2_utils.py:295-377)."""
+    from iou3dmatch_tpu.models.pointnet2 import QueryAndGroup
+    from iou3dmatch_tpu.ops import ball_query, group_points
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    new_xyz = xyz[:, :16]
+    feats = jnp.asarray(rng.randn(2, 128, 5).astype(np.float32))
+
+    qg = QueryAndGroup(radius=0.8, nsample=8, normalize_xyz=True,
+                       ret_grouped_xyz=True, exact_ball_query=True)
+    vars_ = qg.init(jax.random.PRNGKey(0), xyz, new_xyz, feats)
+    out, gxyz = qg.apply(vars_, xyz, new_xyz, feats)
+    assert out.shape == (2, 16, 8, 8) and gxyz.shape == (2, 16, 8, 3)
+
+    idx = ball_query(0.8, 8, xyz, new_xyz, exact=True)
+    want_xyz = (group_points(xyz, idx) - new_xyz[:, :, None, :]) / 0.8
+    np.testing.assert_allclose(np.asarray(gxyz), np.asarray(want_xyz),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), np.asarray(want_xyz),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 3:]), np.asarray(group_points(feats, idx)),
+        rtol=1e-6)
+
+    # xyz-only path + use_xyz=False path
+    only = QueryAndGroup(radius=0.8, nsample=8, exact_ball_query=True)
+    o2 = only.apply(only.init(jax.random.PRNGKey(1), xyz, new_xyz), xyz, new_xyz)
+    assert o2.shape == (2, 16, 8, 3)
+    nf = QueryAndGroup(radius=0.8, nsample=8, use_xyz=False,
+                       exact_ball_query=True)
+    o3 = nf.apply(nf.init(jax.random.PRNGKey(2), xyz, new_xyz, feats),
+                  xyz, new_xyz, feats)
+    assert o3.shape == (2, 16, 8, 5)

@@ -95,13 +95,28 @@ def test_dump_results(tmp_path):
 
 
 def test_metrics_precision_recall():
-    box = lambda c: np.array(c) + np.array(
-        [[dx, dy, dz] for dx in (-.5, .5) for dy in (-.5, .5) for dz in (-.5, .5)])
-    gt = [box([0, 0, 0]), box([5, 5, 5])]
-    pred = [box([0.1, 0, 0]), box([9, 9, 9])]  # one hit, one miss
-    prec, rec = metrics.precision_recall([pred], [gt], iou_thresh=0.25)
-    assert prec == 0.5 and rec == 0.5
+    """metric_util parity: 6-dim (center, lengths) boxes + conf column."""
+    box = lambda c: np.array(list(c) + [1.0, 1.0, 1.0])
+    gt = np.stack([box([0, 0, 0]), box([5, 5, 5])])
+    # one hit, one miss, one below conf threshold
+    pred = np.stack([
+        np.append(box([0.1, 0, 0]), 0.9),
+        np.append(box([9, 9, 9]), 0.9),
+        np.append(box([5, 5, 5]), 0.1),
+    ])
+    tp, fp, fn = metrics.single_scene_precision_recall(gt, pred, 0.25, 0.5)
+    assert (tp, fp, fn) == (1, 1, 1)
+    assert metrics.precision_recall(tp, fp, fn) == (0.5, 0.5)
+    TP, FP, FN, (prec, rec) = metrics.multi_scene_precision_recall(
+        gt[None], pred[None], 0.25, 0.5, np.ones((1, 2)), np.ones((1, 3)))
+    assert (TP, FP, FN) == (1, 1, 1) and prec == 0.5 and rec == 0.5
+    # masking away the miss makes precision perfect
+    _, FP2, _, (prec2, _) = metrics.multi_scene_precision_recall(
+        gt[None], pred[None], 0.25, 0.5, np.ones((1, 2)),
+        np.array([[1, 0, 1]]))
+    assert FP2 == 0 and prec2 == 1.0
     assert metrics.calc_iou(box([0, 0, 0]), box([0, 0, 0])) == 1.0
+    assert metrics.calc_iou(box([0, 0, 0]), box([0.5, 0, 0])) == 1 / 3
 
 
 def test_tb_writer_images(tmp_path):
