@@ -42,8 +42,14 @@ class BatchNorm(nn.Module):
         x = x.astype(jnp.float32)
         if train:
             axes = tuple(range(x.ndim - 1))
+            # one-pass statistics: E[x] and E[x^2] are sibling reductions
+            # over the same operand, so XLA multi-output-fuses them into a
+            # single traversal of the (large) activation tensor — the
+            # centered two-pass form reads it twice. f32 accumulation keeps
+            # the cancellation harmless at activation magnitudes.
             mean = jnp.mean(x, axis=axes)
-            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            mean2 = jnp.mean(jnp.square(x), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             n = x.size // self.features
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():

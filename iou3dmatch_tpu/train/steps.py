@@ -12,12 +12,28 @@ Reference call stacks mirrored: pretrain train_one_epoch
 (pretrain.py:310-347), SSL train_one_epoch (train.py:305-371), EMA update
 (train.py:285-289).
 """
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..losses import get_labeled_loss, get_loss, get_unlabeled_loss
 from .state import TrainState, make_optimizer
+
+
+def _donate_state_kwargs():
+    """donate_argnums for the TrainState arg — in-place param/opt/EMA
+    update on TPU removes whole-tree copies at the step boundary (~2.4 ms
+    at the reference config). The tunneled 'axon' dev platform mishandles
+    input-output aliasing (fetching any aliased output fails with
+    InvalidArgument), so donation is disabled there; real TPU/GPU/CPU
+    runtimes take the fast path."""
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    return {} if "axon" in version else {"donate_argnums": (0,)}
 
 
 def ema_update(ema_params, params, alpha):
@@ -29,7 +45,7 @@ def make_pretrain_step(model, cfg, weight_decay=0.0):
     """Supervised pretrain step: forward_with_pred_jitter + labeled loss."""
     tx = make_optimizer(weight_decay)
 
-    @jax.jit
+    @partial(jax.jit, **_donate_state_kwargs())
     def step(state: TrainState, batch, rng, lr, bn_momentum):
         num_labeled = batch["point_clouds"].shape[0]
 
@@ -69,7 +85,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
     alpha = min(1 - 1/(step+1), ema_decay)."""
     tx = make_optimizer(weight_decay)
 
-    @jax.jit
+    @partial(jax.jit, **_donate_state_kwargs())
     def step(state: TrainState, batch, rng, lr, bn_momentum):
         t_rng, s_rng = jax.random.split(rng)
 
