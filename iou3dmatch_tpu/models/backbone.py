@@ -47,8 +47,14 @@ class Pointnet2Backbone(nn.Module):
         self.fp1 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)
         self.fp2 = PointnetFPModule(mlp=(256 + 256, 256, 256), dtype=self.dtype)
 
-    def __call__(self, pointcloud: jax.Array, *, train: bool, momentum=0.1) -> dict:
-        """pointcloud: (B, N, 3 + input_feature_dim) -> end_points dict."""
+    def __call__(self, pointcloud: jax.Array, *, train: bool, momentum=0.1,
+                 sa1_inds=None) -> dict:
+        """pointcloud: (B, N, 3 + input_feature_dim) -> end_points dict.
+
+        ``sa1_inds`` optionally provides SA1's FPS indices (B, npoint[0]) —
+        the SSL step hoists ONE interleaved FPS call over the teacher+student
+        clouds out of both forwards (the FPS kernel is latency-bound, so 2B
+        scenes in one grid step cost about the same as B; see PERF.md)."""
         xyz = pointcloud[..., 0:3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
         # Input features are data, never differentiated — without this, the
@@ -59,7 +65,8 @@ class Pointnet2Backbone(nn.Module):
             features = jax.lax.stop_gradient(features)
 
         ep = {}
-        xyz, features, fps_inds = self.sa1(xyz, features, train=train, momentum=momentum)
+        xyz, features, fps_inds = self.sa1(xyz, features, inds=sa1_inds,
+                                           train=train, momentum=momentum)
         ep["sa1_inds"], ep["sa1_xyz"], ep["sa1_features"] = fps_inds, xyz, features
         xyz, features, fps_inds = self.sa2(xyz, features, train=train, momentum=momentum)
         ep["sa2_inds"], ep["sa2_xyz"], ep["sa2_features"] = fps_inds, xyz, features

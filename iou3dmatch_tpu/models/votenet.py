@@ -73,9 +73,12 @@ class VoteNet(nn.Module):
 
     # ------------------------------------------------------------- forwards
     def forward_backbone(self, point_clouds: jax.Array, *, train: bool, momentum=0.1,
-                         rng: Optional[jax.Array] = None) -> dict:
-        """(B, N, 3+C) -> end_points (votenet_iou_branch.py:75-109)."""
-        ep = self.backbone_net(point_clouds, train=train, momentum=momentum)
+                         rng: Optional[jax.Array] = None, sa1_inds=None) -> dict:
+        """(B, N, 3+C) -> end_points (votenet_iou_branch.py:75-109).
+        ``sa1_inds`` optionally injects precomputed SA1 FPS indices (see
+        Pointnet2Backbone.__call__)."""
+        ep = self.backbone_net(point_clouds, train=train, momentum=momentum,
+                               sa1_inds=sa1_inds)
         ep["seed_inds"] = ep["fp2_inds"]
         ep["seed_xyz"] = ep["fp2_xyz"]
         ep["seed_features"] = ep["fp2_features"]
@@ -124,10 +127,12 @@ class VoteNet(nn.Module):
 
     def forward_with_pred_jitter(self, point_clouds: jax.Array, jitter_rng: jax.Array,
                                  *, train: bool, momentum=0.1,
-                                 rng: Optional[jax.Array] = None) -> dict:
+                                 rng: Optional[jax.Array] = None,
+                                 sa1_inds=None) -> dict:
         """Training forward with jittered box copies
         (votenet_iou_branch.py:157-181)."""
-        ep = self.forward_backbone(point_clouds, train=train, momentum=momentum, rng=rng)
+        ep = self.forward_backbone(point_clouds, train=train, momentum=momentum,
+                                   rng=rng, sa1_inds=sa1_inds)
         center, size, heading = self.calculate_bbox(ep)
         b, k = heading.shape[:2]
 

@@ -10,6 +10,7 @@ msgpack of {epoch, loss, params, batch_stats, opt_state[, ema_*]}.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -54,6 +55,8 @@ def load_pretrain_into_ssl(path: str, ssl_template: TrainState) -> TrainState:
     return ssl_template.replace(
         params=params,
         batch_stats=batch_stats,
-        ema_params=jax.tree.map(lambda x: x, params),
-        ema_batch_stats=jax.tree.map(lambda x: x, batch_stats),
+        # distinct buffers: the SSL step donates the whole state (see
+        # train/state.py note on double donation)
+        ema_params=jax.tree.map(jnp.copy, params),
+        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats),
     )

@@ -49,8 +49,11 @@ def create_train_state(model, rng, example_batch, with_ema=False, weight_decay=0
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(weight_decay)
     opt_state = tx.init(params)
-    ema_params = jax.tree.map(lambda x: x, params) if with_ema else None
-    ema_bs = jax.tree.map(lambda x: x, batch_stats) if with_ema else None
+    # jnp.copy (not identity): the EMA tree must hold DISTINCT buffers —
+    # the train steps donate the whole TrainState, and donating the same
+    # buffer twice (params + aliased ema_params) is a runtime error.
+    ema_params = jax.tree.map(jnp.copy, params) if with_ema else None
+    ema_bs = jax.tree.map(jnp.copy, batch_stats) if with_ema else None
     return TrainState(
         params=params,
         batch_stats=batch_stats,

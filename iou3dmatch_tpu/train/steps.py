@@ -22,20 +22,6 @@ from ..losses import get_labeled_loss, get_loss, get_unlabeled_loss
 from .state import TrainState, make_optimizer
 
 
-def _donate_state_kwargs():
-    """donate_argnums for the TrainState arg — in-place param/opt/EMA
-    update on TPU removes whole-tree copies at the step boundary (~2.4 ms
-    at the reference config). The tunneled 'axon' dev platform mishandles
-    input-output aliasing (fetching any aliased output fails with
-    InvalidArgument), so donation is disabled there; real TPU/GPU/CPU
-    runtimes take the fast path."""
-    try:
-        version = jax.devices()[0].client.platform_version
-    except Exception:
-        version = ""
-    return {} if "axon" in version else {"donate_argnums": (0,)}
-
-
 def ema_update(ema_params, params, alpha):
     """ema = alpha * ema + (1 - alpha) * param (train.py:285-289)."""
     return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
@@ -45,7 +31,10 @@ def make_pretrain_step(model, cfg, weight_decay=0.0):
     """Supervised pretrain step: forward_with_pred_jitter + labeled loss."""
     tx = make_optimizer(weight_decay)
 
-    @partial(jax.jit, **_donate_state_kwargs())
+    # donate the TrainState: params/opt/EMA update in place (the
+    # EMA tree holds distinct buffers — see train/state.py — so no leaf is
+    # donated twice)
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng, lr, bn_momentum):
         num_labeled = batch["point_clouds"].shape[0]
 
@@ -85,9 +74,26 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
     alpha = min(1 - 1/(step+1), ema_decay)."""
     tx = make_optimizer(weight_decay)
 
-    @partial(jax.jit, **_donate_state_kwargs())
+    # donate the TrainState: params/opt/EMA update in place (the
+    # EMA tree holds distinct buffers — see train/state.py — so no leaf is
+    # donated twice)
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng, lr, bn_momentum):
         t_rng, s_rng = jax.random.split(rng)
+
+        # ONE SA1 FPS over teacher+student clouds: the Pallas FPS kernel is
+        # LATENCY-bound (a serial 2048-iteration chain per scene), so 2B
+        # scenes interleaved in one grid step cost about the same wall time
+        # as B — hoisting halves the per-step FPS cost vs running it inside
+        # each forward. Identical indices to the in-forward FPS (same op).
+        from ..ops import furthest_point_sample
+
+        xyz_both = jnp.concatenate(
+            [batch["ema_point_clouds"][..., 0:3],
+             batch["point_clouds"][..., 0:3]], axis=0)
+        inds_both = furthest_point_sample(xyz_both, model.sa_npoints[0])
+        n_scenes = batch["point_clouds"].shape[0]
+        t_inds, s_inds = inds_both[:n_scenes], inds_both[n_scenes:]
 
         # Teacher forward (no gradient). The reference keeps the teacher in
         # train mode — its BN normalizes by (and updates) its own batch
@@ -96,7 +102,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
             {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
             batch["ema_point_clouds"], t_rng, train=True, momentum=bn_momentum,
             mutable=["batch_stats"],
-            method=model.forward_with_pred_jitter,
+            method=model.forward_with_pred_jitter, sa1_inds=t_inds,
         )
         ema_ep = jax.lax.stop_gradient(ema_ep)
 
@@ -105,7 +111,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["point_clouds"], s_rng, train=True, momentum=bn_momentum,
                 mutable=["batch_stats"],
-                method=model.forward_with_pred_jitter,
+                method=model.forward_with_pred_jitter, sa1_inds=s_inds,
             )
             sup_loss, m1 = get_labeled_loss(ep, batch, cfg, num_labeled)
             unsup_loss, m2 = get_unlabeled_loss(

@@ -53,6 +53,12 @@ def _ssl_batch(rng, cfg, bl=1, bu=1):
     return batch
 
 
+def _donable(state):
+    """Deep-copy a TrainState: the train steps donate their state arg, so a
+    module-scoped fixture's state must not be passed in directly."""
+    return jax.tree.map(jnp.copy, state)
+
+
 @pytest.fixture(scope="module")
 def setup():
     model, cfg = build_votenet("scannet", tiny=True)
@@ -73,7 +79,7 @@ def test_schedules():
 def test_pretrain_step_updates(setup):
     model, cfg, state, batch = setup
     step = make_pretrain_step(model, cfg)
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(1), 1e-3, 0.5)
+    new_state, metrics = step(_donable(state), batch, jax.random.PRNGKey(1), 1e-3, 0.5)
     assert np.isfinite(float(metrics["loss"]))
     # params moved
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
@@ -86,7 +92,7 @@ def test_ssl_step(setup):
     rng = np.random.RandomState(1)
     batch = _ssl_batch(rng, cfg)
     step = make_ssl_step(model, cfg, num_labeled=1)
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(2), 2e-3, 0.5)
+    new_state, metrics = step(_donable(state), batch, jax.random.PRNGKey(2), 2e-3, 0.5)
     assert np.isfinite(float(metrics["loss"]))
     assert "unlabeled_detection_loss" in metrics
     # EMA moved toward student (alpha=0 at step 0 -> ema == new params)
@@ -133,11 +139,11 @@ def test_multichip_ssl_step(setup):
     state_r = replicate(state, mesh)
     batch_s = shard_batch(batch, mesh)
     step = make_ssl_step(model, cfg, num_labeled=8)
-    new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(3), 2e-3, 0.5)
+    new_state, metrics = step(_donable(state_r), batch_s, jax.random.PRNGKey(3), 2e-3, 0.5)
     assert np.isfinite(float(metrics["loss"]))
 
     # single-device reference: same batch unsharded must agree closely
-    new_state1, metrics1 = step(state, batch, jax.random.PRNGKey(3), 2e-3, 0.5)
+    new_state1, metrics1 = step(_donable(state), batch, jax.random.PRNGKey(3), 2e-3, 0.5)
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
     )
