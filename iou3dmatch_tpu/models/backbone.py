@@ -21,6 +21,11 @@ class Pointnet2Backbone(nn.Module):
     sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
     sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
+    # SA2-4 inputs are FPS-selection-ordered, so their FPS provably reduces
+    # to the arange prefix (see PointnetSAModuleVotes inds="prefix") — skip
+    # the latency-bound kernel. Set False to force the exact kernels (only
+    # diverges when a scene has fewer distinct valid points than npoint).
+    fps_prefix: bool = True
 
     def setup(self):
         c_in = self.input_feature_dim
@@ -68,11 +73,15 @@ class Pointnet2Backbone(nn.Module):
         xyz, features, fps_inds = self.sa1(xyz, features, inds=sa1_inds,
                                            train=train, momentum=momentum)
         ep["sa1_inds"], ep["sa1_xyz"], ep["sa1_features"] = fps_inds, xyz, features
-        xyz, features, fps_inds = self.sa2(xyz, features, train=train, momentum=momentum)
+        prefix = "prefix" if self.fps_prefix else None
+        xyz, features, fps_inds = self.sa2(xyz, features, inds=prefix,
+                                           train=train, momentum=momentum)
         ep["sa2_inds"], ep["sa2_xyz"], ep["sa2_features"] = fps_inds, xyz, features
-        xyz, features, _ = self.sa3(xyz, features, train=train, momentum=momentum)
+        xyz, features, _ = self.sa3(xyz, features, inds=prefix,
+                                    train=train, momentum=momentum)
         ep["sa3_xyz"], ep["sa3_features"] = xyz, features
-        xyz, features, _ = self.sa4(xyz, features, train=train, momentum=momentum)
+        xyz, features, _ = self.sa4(xyz, features, inds=prefix,
+                                    train=train, momentum=momentum)
         ep["sa4_xyz"], ep["sa4_features"] = xyz, features
 
         features = self.fp1(

@@ -14,6 +14,7 @@ def build_votenet(
     query_feats: str = "seed",
     tiny: bool = False,
     compute_dtype=None,
+    fps_prefix: bool = True,
 ):
     """Returns (model, dataset_config). Defaults mirror pretrain.py:41-70."""
     cfg = get_config(dataset)
@@ -32,6 +33,7 @@ def build_votenet(
         sampling=sampling,
         query_feats=query_feats,
         compute_dtype=compute_dtype,
+        fps_prefix=fps_prefix,
         **kwargs,
     )
     return model, cfg

@@ -99,9 +99,28 @@ class PointnetSAModuleVotes(nn.Module):
         train: bool,
         momentum=0.1,
     ):
-        if inds is None:
-            inds = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, inds)  # (B, npoint, 3)
+        if isinstance(inds, str):
+            if inds != "prefix":
+                raise ValueError(f"unknown inds sentinel {inds!r}")
+            # FPS re-run on an FPS-selection-ordered point set provably
+            # re-selects the prefix in order (each p_i maximized min-distance
+            # over a superset of the re-run's remaining set, and first-
+            # occurrence tie-breaks stay consistent) — so when the caller
+            # knows ``xyz`` is FPS-ordered, the kernel reduces to arange and
+            # the center gather to a slice. Verified bit-identical to the
+            # exact kernel on CPU and the TPU Pallas path for realistic
+            # clouds (tests/test_ops.py::test_fps_prefix_property); the only
+            # divergence regime is < npoint distinct valid points, which the
+            # 40k-point scenes never hit.
+            b = xyz.shape[0]
+            inds = jnp.broadcast_to(
+                jnp.arange(self.npoint, dtype=jnp.int32), (b, self.npoint)
+            )
+            new_xyz = xyz[:, : self.npoint]
+        else:
+            if inds is None:
+                inds = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, inds)  # (B, npoint, 3)
 
         if self.ret_unique_cnt:
             assert self.sample_uniformly  # mirrors pointnet2_utils.py:315-316

@@ -31,6 +31,10 @@ class ProposalModule(nn.Module):
     seed_feat_dim: int = 256
     agg_radius: float = 0.3
     agg_nsample: int = 16
+    # seed_xyz (= sa2_xyz) is FPS-selection-ordered, so seed_fps's FPS over
+    # it provably yields arange(num_proposal) (see PointnetSAModuleVotes
+    # inds="prefix"); skip the kernel. False forces the exact kernel.
+    fps_prefix: bool = True
 
     def setup(self):
         self.vote_aggregation = PointnetSAModuleVotes(
@@ -64,10 +68,18 @@ class ProposalModule(nn.Module):
                 xyz, features, train=train, momentum=momentum
             )
         elif self.sampling == "seed_fps":
-            sample_inds = furthest_point_sample(ep["seed_xyz"], self.num_proposal)
-            new_xyz, agg_features, _ = self.vote_aggregation(
-                xyz, features, sample_inds, train=train, momentum=momentum
-            )
+            if self.fps_prefix:
+                # FPS over the FPS-ordered seeds == arange; the SA module's
+                # prefix path returns that arange as sample_inds.
+                new_xyz, agg_features, sample_inds = self.vote_aggregation(
+                    xyz, features, "prefix", train=train, momentum=momentum
+                )
+            else:
+                sample_inds = furthest_point_sample(
+                    ep["seed_xyz"], self.num_proposal)
+                new_xyz, agg_features, _ = self.vote_aggregation(
+                    xyz, features, sample_inds, train=train, momentum=momentum
+                )
         elif self.sampling == "random":
             num_seed = ep["seed_xyz"].shape[1]
             sample_inds = jax.random.randint(

@@ -34,6 +34,8 @@ class VoteNet(nn.Module):
     compute_dtype: Optional[str] = None  # 'bfloat16' for mixed precision
     sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
+    # skip provably-arange FPS calls (SA2-4 + seed_fps); see backbone.py
+    fps_prefix: bool = True
 
     def setup(self):
         mp_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
@@ -43,6 +45,7 @@ class VoteNet(nn.Module):
             sa_npoints=self.sa_npoints,
             sa_radii=self.sa_radii,
             sa_nsamples=self.sa_nsamples,
+            fps_prefix=self.fps_prefix,
         )
         self.vgen = VotingModule(self.vote_factor, 256)
         self.pnet = ProposalModule(
@@ -52,6 +55,7 @@ class VoteNet(nn.Module):
             mean_size_arr=self.mean_size_arr,
             num_proposal=self.num_proposal,
             sampling=self.sampling,
+            fps_prefix=self.fps_prefix,
         )
         self.grid_conv = GridConv(
             dtype=mp_dtype,

@@ -299,3 +299,24 @@ def test_query_and_group_matches_inline_grouping():
     o3 = nf.apply(nf.init(jax.random.PRNGKey(2), xyz, new_xyz, feats),
                   xyz, new_xyz, feats)
     assert o3.shape == (2, 16, 8, 5)
+
+
+def test_fps_prefix_shortcut_is_exact():
+    """The full model with fps_prefix=True (SA2-4 + seed_fps skip the FPS
+    kernel via the prefix theorem) is bit-identical to fps_prefix=False
+    running the exact kernels."""
+    from iou3dmatch_tpu.models.factory import build_votenet
+
+    model_fast, _ = build_votenet("scannet", tiny=True, fps_prefix=True)
+    model_exact, _ = build_votenet("scannet", tiny=True, fps_prefix=False)
+    rng = jax.random.PRNGKey(0)
+    pc = jax.random.uniform(rng, (2, 512, 4), minval=-4, maxval=4)
+    variables = model_fast.init({"params": rng}, pc, train=False,
+                                rng=jax.random.PRNGKey(1))
+    out_fast = model_fast.apply(variables, pc, train=False,
+                                rng=jax.random.PRNGKey(2))
+    out_exact = model_exact.apply(variables, pc, train=False,
+                                  rng=jax.random.PRNGKey(2))
+    for k in out_exact:
+        np.testing.assert_array_equal(
+            np.asarray(out_fast[k]), np.asarray(out_exact[k]), err_msg=k)

@@ -266,3 +266,38 @@ def test_gather_rows_vmem_wide_table():
     assert gather_rows_vmem_supported(2048, 32768, 131, jnp.float32)  # SA2
     assert not gather_rows_vmem_supported(1024, 8192, 259, jnp.float32)  # SA3
     assert not gather_rows_vmem_supported(2048, 32768, 131, jnp.bfloat16)
+
+
+def test_fps_prefix_property():
+    """FPS re-run on an FPS-selection-ordered set re-selects the prefix in
+    order — the theorem behind the inds="prefix" shortcut used for SA2-4 and
+    seed_fps (models/pointnet2.py). Holds exactly (same float accumulation
+    order, consistent first-occurrence tie-breaks) whenever there are at
+    least ``npoint`` distinct valid points; covers duplicates (sampling with
+    replacement) and the |p|^2<=1e-3 skip rule."""
+    rng = np.random.RandomState(7)
+
+    def fps_ordered(pc, m):
+        i = furthest_point_sample(jnp.asarray(pc), m)
+        return jnp.take_along_axis(
+            jnp.asarray(pc), i[..., None].astype(jnp.int32), axis=1)
+
+    # realistic scene scale
+    pc = rng.uniform(-4, 4, size=(2, 4096, 3)).astype(np.float32)
+    x1 = fps_ordered(pc, 512)
+    np.testing.assert_array_equal(
+        np.asarray(furthest_point_sample(x1, 256)),
+        np.tile(np.arange(256, dtype=np.int32), (2, 1)))
+    # chained (SA2 -> SA3 analogue)
+    x2 = x1[:, :256]
+    np.testing.assert_array_equal(
+        np.asarray(furthest_point_sample(x2, 128)),
+        np.tile(np.arange(128, dtype=np.int32), (2, 1)))
+    # duplicate-heavy (random_sampling with replacement) + near-origin points
+    base = rng.uniform(-2, 2, size=(2, 300, 3)).astype(np.float32)
+    dup = np.take_along_axis(base, rng.randint(0, 300, (2, 2048))[..., None], 1)
+    dup[:, :50] *= 1e-4  # |p|^2 <= 1e-3: skipped by the CUDA semantics
+    x3 = fps_ordered(dup, 256)
+    np.testing.assert_array_equal(
+        np.asarray(furthest_point_sample(x3, 128)),
+        np.tile(np.arange(128, dtype=np.int32), (2, 1)))
