@@ -330,13 +330,19 @@ def _pseudo_box_and_sem_cls_loss(ep, pseudo, nl, cfg, object_assignment, objectn
 def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
                        obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                        nms_iou=0.25, use_lhs=True, samecls_match=False,
-                       dataset="scannet", view_stats=False):
+                       dataset="scannet", view_stats=False,
+                       ema_rows_are_unlabeled=False):
     """Returns (loss, metrics). Mirrors get_unlabeled_loss
     (loss_helper_unlabeled.py:541-600): pseudo-label the teacher's unlabeled
     rows, transform to the student frame, then center/heading/size/sem-cls
-    losses; total = (box + 0.1 * sem_cls) * 10."""
+    losses; total = (box + 0.1 * sem_cls) * 10.
+
+    ``ema_rows_are_unlabeled``: the caller already ran the teacher on only
+    the unlabeled scenes (see make_ssl_step teacher_unlabeled_only), so
+    ``ema_ep`` needs no slicing."""
     nl = num_labeled
-    teacher = {k: v[nl:] for k, v in ema_ep.items() if k in (
+    t0 = 0 if ema_rows_are_unlabeled else nl
+    teacher = {k: v[t0:] for k, v in ema_ep.items() if k in (
         "center", "sem_cls_scores", "objectness_scores", "heading_scores",
         "heading_residuals", "size_scores", "size_residuals",
         "aggregated_vote_xyz", "iou_scores",

@@ -67,11 +67,21 @@ def make_pretrain_step(model, cfg, weight_decay=0.0):
 def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.999,
                   obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                   nms_iou=0.25, use_lhs=True, samecls_match=False,
-                  dataset="scannet", weight_decay=0.0, view_stats=False):
+                  dataset="scannet", weight_decay=0.0, view_stats=False,
+                  teacher_unlabeled_only=True):
     """Mean-teacher SSL step (train.py:305-371): teacher forward on the
     unaugmented EMA view, student forward on the augmented view, labeled +
     weighted unlabeled loss, Adam, then the EMA parameter update with warmup
-    alpha = min(1 - 1/(step+1), ema_decay)."""
+    alpha = min(1 - 1/(step+1), ema_decay).
+
+    ``teacher_unlabeled_only`` (default True): the reference runs the
+    teacher on the FULL mixed batch and then discards the labeled rows —
+    every consumer slices ``ema_end_points[...][labeled_num:]``
+    (loss_helper_unlabeled.py:544-551, 386). Running the teacher on just
+    the unlabeled scenes drops a third of its compute; the only coupling
+    to the labeled rows is the teacher's train-mode BatchNorm batch
+    statistics (12 vs 8 i.i.d. scenes — same distribution, sampling noise
+    only). Set False for reference-exact full-batch teacher numerics."""
     tx = make_optimizer(weight_decay)
 
     # donate the TrainState: params/opt/EMA update in place (the
@@ -88,19 +98,22 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         # each forward. Identical indices to the in-forward FPS (same op).
         from ..ops import furthest_point_sample
 
+        ema_clouds = batch["ema_point_clouds"]
+        if teacher_unlabeled_only:
+            ema_clouds = ema_clouds[num_labeled:]
         xyz_both = jnp.concatenate(
-            [batch["ema_point_clouds"][..., 0:3],
+            [ema_clouds[..., 0:3],
              batch["point_clouds"][..., 0:3]], axis=0)
         inds_both = furthest_point_sample(xyz_both, model.sa_npoints[0])
-        n_scenes = batch["point_clouds"].shape[0]
-        t_inds, s_inds = inds_both[:n_scenes], inds_both[n_scenes:]
+        n_teacher = ema_clouds.shape[0]
+        t_inds, s_inds = inds_both[:n_teacher], inds_both[n_teacher:]
 
         # Teacher forward (no gradient). The reference keeps the teacher in
         # train mode — its BN normalizes by (and updates) its own batch
         # statistics; only parameters are EMA'd (train.py:334-335, 285-289).
         ema_ep, ema_mut = model.apply(
             {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-            batch["ema_point_clouds"], t_rng, train=True, momentum=bn_momentum,
+            ema_clouds, t_rng, train=True, momentum=bn_momentum,
             mutable=["batch_stats"],
             method=model.forward_with_pred_jitter, sa1_inds=t_inds,
         )
@@ -120,6 +133,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 iou_threshold=iou_threshold, nms_iou=nms_iou, use_lhs=use_lhs,
                 samecls_match=samecls_match, dataset=dataset,
                 view_stats=view_stats,
+                ema_rows_are_unlabeled=teacher_unlabeled_only,
             )
             loss = sup_loss + unlabeled_weight * unsup_loss
             m1.update(m2)

@@ -161,3 +161,27 @@ def test_host_local_batch_to_global():
     assert g["a"].shape == (8, 2)
     np.testing.assert_array_equal(np.asarray(g["a"]), batch["a"])
     assert len(g["a"].sharding.device_set) == 8
+
+
+def test_teacher_unlabeled_only_matches_full_batch(setup):
+    """teacher_unlabeled_only=True (default) runs the teacher on only the
+    unlabeled scenes; the reference discards the teacher's labeled rows, so
+    the sole coupling is the teacher's train-mode BN batch statistics. With
+    every ema cloud identical those statistics coincide (mean/var over 8 vs
+    12 copies of the same rows), and the step loss must agree."""
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(3)
+    batch = _ssl_batch(rng, cfg, bl=1, bu=2)
+    one = batch["ema_point_clouds"][:1]
+    batch["ema_point_clouds"] = jnp.tile(one, (3, 1, 1))
+
+    step_fast = make_ssl_step(model, cfg, num_labeled=1,
+                              teacher_unlabeled_only=True)
+    step_full = make_ssl_step(model, cfg, num_labeled=1,
+                              teacher_unlabeled_only=False)
+    _, m_fast = step_fast(_donable(state), batch, jax.random.PRNGKey(4), 2e-3, 0.5)
+    _, m_full = step_full(_donable(state), batch, jax.random.PRNGKey(4), 2e-3, 0.5)
+    np.testing.assert_allclose(float(m_fast["loss"]), float(m_full["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_fast["unsupervised_loss"]),
+                               float(m_full["unsupervised_loss"]), rtol=1e-5)
