@@ -58,12 +58,14 @@ def parse_args(argv=None):
     p.add_argument("--opt_step", type=int, default=0)
     p.add_argument("--opt_rate", type=float, default=0.01)
     p.add_argument("--dump_results", action="store_true")
-    p.add_argument("--teacher_full_batch", action="store_true",
-                   help="run the teacher on the full mixed batch like the "
-                        "reference (its labeled-row outputs are discarded; "
-                        "only the teacher's BN batch statistics differ). "
-                        "Default runs the teacher on the unlabeled scenes "
-                        "only — ~1/3 less teacher compute")
+    p.add_argument("--reference_exact_step", action="store_true",
+                   help="reference-exact SSL step: teacher on the full mixed "
+                        "batch with the jittered-box GridConv pass, student "
+                        "jitter on every scene. The fast default skips the "
+                        "compute whose outputs the reference itself discards "
+                        "(teacher labeled rows, teacher jitter IoU, unlabeled "
+                        "student jitter); only train-mode BN batch statistics "
+                        "differ (see train/steps.py)")
     p.add_argument("--view_stats", action="store_true",
                    help="load real labels of unlabeled scans and report "
                         "pseudo-label quality metrics (diagnostics only)")
@@ -144,7 +146,7 @@ def main(argv=None):
         cls_threshold=args.cls_threshold, iou_threshold=args.iou_threshold,
         dataset=args.dataset, weight_decay=args.weight_decay,
         view_stats=args.view_stats,
-        teacher_unlabeled_only=not args.teacher_full_batch)
+        reference_exact=args.reference_exact_step)
     eval_forward = make_eval_forward(model, cfg, use_ema=args.eval_use_ema)
     eval_forward.use_ema = args.eval_use_ema
     config_dict = make_config_dict(cfg, args)

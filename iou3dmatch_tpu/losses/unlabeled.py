@@ -338,7 +338,7 @@ def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
     losses; total = (box + 0.1 * sem_cls) * 10.
 
     ``ema_rows_are_unlabeled``: the caller already ran the teacher on only
-    the unlabeled scenes (see make_ssl_step teacher_unlabeled_only), so
+    the unlabeled scenes (see make_ssl_step reference_exact=False), so
     ``ema_ep`` needs no slicing."""
     nl = num_labeled
     t0 = 0 if ema_rows_are_unlabeled else nl

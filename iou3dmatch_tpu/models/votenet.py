@@ -118,10 +118,12 @@ class VoteNet(nn.Module):
         return ep["center"], size, heading
 
     def __call__(self, point_clouds: jax.Array, *, train: bool, momentum=0.1,
-                 iou_opt: bool = False, rng: Optional[jax.Array] = None) -> dict:
+                 iou_opt: bool = False, rng: Optional[jax.Array] = None,
+                 sa1_inds=None) -> dict:
         """Standard forward (votenet_iou_branch.py:139-151). With
         iou_opt=False the boxes are detached before the IoU branch."""
-        ep = self.forward_backbone(point_clouds, train=train, momentum=momentum, rng=rng)
+        ep = self.forward_backbone(point_clouds, train=train, momentum=momentum,
+                                   rng=rng, sa1_inds=sa1_inds)
         center, size, heading = self.calculate_bbox(ep)
         if not iou_opt:
             center = jax.lax.stop_gradient(center)
@@ -132,9 +134,19 @@ class VoteNet(nn.Module):
     def forward_with_pred_jitter(self, point_clouds: jax.Array, jitter_rng: jax.Array,
                                  *, train: bool, momentum=0.1,
                                  rng: Optional[jax.Array] = None,
-                                 sa1_inds=None) -> dict:
+                                 sa1_inds=None, jitter_rows=None) -> dict:
         """Training forward with jittered box copies
-        (votenet_iou_branch.py:157-181)."""
+        (votenet_iou_branch.py:157-181).
+
+        ``jitter_rows``: with None (reference-exact), every scene gets a
+        jittered copy of each proposal and GridConv runs on (B, 2K) boxes.
+        With an int nl, only the first nl scenes keep their jittered copies
+        — the jitter IoU loss only ever reads jitter rows [:num_labeled]
+        (loss_helper_labeled.py:232-279) — and GridConv runs once on
+        (B + nl, K) boxes, the jitter rows re-using the first nl scenes'
+        seeds. Per-box numerics are identical (same jitter RNG draws, same
+        grid/3-NN math); only train-mode BatchNorm batch statistics see a
+        different box population."""
         ep = self.forward_backbone(point_clouds, train=train, momentum=momentum,
                                    rng=rng, sa1_inds=sa1_inds)
         center, size, heading = self.calculate_bbox(ep)
@@ -145,21 +157,46 @@ class VoteNet(nn.Module):
         size_jitter = size + size * jax.random.normal(k2, size.shape) * 0.3
         size_jitter = jnp.clip(size_jitter, 1e-8, None)
 
-        center_all = jnp.concatenate([center, center_jitter], axis=1)
-        size_all = jnp.concatenate([size, size_jitter], axis=1)
-        heading_all = jnp.concatenate([heading, heading], axis=1)
+        if jitter_rows is None:
+            center_all = jnp.concatenate([center, center_jitter], axis=1)
+            size_all = jnp.concatenate([size, size_jitter], axis=1)
+            heading_all = jnp.concatenate([heading, heading], axis=1)
 
-        ep = self.grid_conv(
+            ep = self.grid_conv(
+                jax.lax.stop_gradient(center_all),
+                jax.lax.stop_gradient(size_all),
+                jax.lax.stop_gradient(heading_all),
+                ep, train=train, momentum=momentum,
+            )
+            ep["iou_scores_jitter"] = ep["iou_scores"][:, k:]
+            ep["iou_scores"] = ep["iou_scores"][:, :k]
+            ep["jitter_center"] = center_jitter
+            ep["jitter_size"] = size_jitter * 2  # full extents, like the reference
+            ep["jitter_heading"] = heading
+            return ep
+
+        nl = jitter_rows
+        center_jitter = center_jitter[:nl]
+        size_jitter = size_jitter[:nl]
+        # jitter rows ride along as nl extra scenes that share the first nl
+        # scenes' seed tables
+        center_all = jnp.concatenate([center, center_jitter], axis=0)
+        size_all = jnp.concatenate([size, size_jitter], axis=0)
+        heading_all = jnp.concatenate([heading, heading[:nl]], axis=0)
+        ep2 = dict(ep)
+        for key in ("seed_xyz", "seed_features", "vote_xyz", "vote_features"):
+            ep2[key] = jnp.concatenate([ep2[key], ep2[key][:nl]], axis=0)
+        ep2 = self.grid_conv(
             jax.lax.stop_gradient(center_all),
             jax.lax.stop_gradient(size_all),
             jax.lax.stop_gradient(heading_all),
-            ep, train=train, momentum=momentum,
+            ep2, train=train, momentum=momentum,
         )
-        ep["iou_scores_jitter"] = ep["iou_scores"][:, k:]
-        ep["iou_scores"] = ep["iou_scores"][:, :k]
+        ep["iou_scores"] = ep2["iou_scores"][:b]
+        ep["iou_scores_jitter"] = ep2["iou_scores"][b:]
         ep["jitter_center"] = center_jitter
         ep["jitter_size"] = size_jitter * 2  # full extents, like the reference
-        ep["jitter_heading"] = heading
+        ep["jitter_heading"] = heading[:nl]
         return ep
 
     def forward_onlyiou(self, ep: dict, center: jax.Array, size: jax.Array,

@@ -68,20 +68,30 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                   obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                   nms_iou=0.25, use_lhs=True, samecls_match=False,
                   dataset="scannet", weight_decay=0.0, view_stats=False,
-                  teacher_unlabeled_only=True):
+                  reference_exact=False):
     """Mean-teacher SSL step (train.py:305-371): teacher forward on the
     unaugmented EMA view, student forward on the augmented view, labeled +
     weighted unlabeled loss, Adam, then the EMA parameter update with warmup
     alpha = min(1 - 1/(step+1), ema_decay).
 
-    ``teacher_unlabeled_only`` (default True): the reference runs the
-    teacher on the FULL mixed batch and then discards the labeled rows —
-    every consumer slices ``ema_end_points[...][labeled_num:]``
-    (loss_helper_unlabeled.py:544-551, 386). Running the teacher on just
-    the unlabeled scenes drops a third of its compute; the only coupling
-    to the labeled rows is the teacher's train-mode BatchNorm batch
-    statistics (12 vs 8 i.i.d. scenes — same distribution, sampling noise
-    only). Set False for reference-exact full-batch teacher numerics."""
+    ``reference_exact`` (default False): the fast default skips three pieces
+    of compute whose outputs the reference itself provably discards — each
+    deviates from the reference ONLY in which scenes/boxes feed train-mode
+    BatchNorm batch statistics (same distribution, sampling noise only):
+
+    1. The teacher runs on just the unlabeled scenes. The reference runs it
+       on the full mixed batch and slices the labeled rows away in every
+       consumer (loss_helper_unlabeled.py:544-551, 386).
+    2. The teacher runs the plain forward (no jittered-box GridConv pass).
+       Nothing consumes the teacher's ``iou_scores_jitter``; the reference
+       computes it only because train.py:334 reuses forward_with_pred_jitter.
+    3. The student jitters only the labeled scenes (jitter_rows=num_labeled):
+       the jitter IoU loss reads jitter rows [:num_labeled] only
+       (loss_helper_labeled.py:232-279), so the unlabeled scenes' jittered
+       GridConv forward+backward is dead compute.
+
+    Set True for reference-exact numerics (full-batch jittered teacher,
+    full-batch student jitter)."""
     tx = make_optimizer(weight_decay)
 
     # donate the TrainState: params/opt/EMA update in place (the
@@ -99,7 +109,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         from ..ops import furthest_point_sample
 
         ema_clouds = batch["ema_point_clouds"]
-        if teacher_unlabeled_only:
+        if not reference_exact:
             ema_clouds = ema_clouds[num_labeled:]
         xyz_both = jnp.concatenate(
             [ema_clouds[..., 0:3],
@@ -111,12 +121,21 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         # Teacher forward (no gradient). The reference keeps the teacher in
         # train mode — its BN normalizes by (and updates) its own batch
         # statistics; only parameters are EMA'd (train.py:334-335, 285-289).
-        ema_ep, ema_mut = model.apply(
-            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-            ema_clouds, t_rng, train=True, momentum=bn_momentum,
-            mutable=["batch_stats"],
-            method=model.forward_with_pred_jitter, sa1_inds=t_inds,
-        )
+        # Fast default: plain forward — the teacher's jittered-box GridConv
+        # outputs are never consumed (see the reference_exact docstring).
+        if reference_exact:
+            ema_ep, ema_mut = model.apply(
+                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+                ema_clouds, t_rng, train=True, momentum=bn_momentum,
+                mutable=["batch_stats"],
+                method=model.forward_with_pred_jitter, sa1_inds=t_inds,
+            )
+        else:
+            ema_ep, ema_mut = model.apply(
+                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+                ema_clouds, train=True, momentum=bn_momentum, rng=t_rng,
+                mutable=["batch_stats"], sa1_inds=t_inds,
+            )
         ema_ep = jax.lax.stop_gradient(ema_ep)
 
         def loss_fn(params):
@@ -125,6 +144,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 batch["point_clouds"], s_rng, train=True, momentum=bn_momentum,
                 mutable=["batch_stats"],
                 method=model.forward_with_pred_jitter, sa1_inds=s_inds,
+                jitter_rows=None if reference_exact else num_labeled,
             )
             sup_loss, m1 = get_labeled_loss(ep, batch, cfg, num_labeled)
             unsup_loss, m2 = get_unlabeled_loss(
@@ -133,7 +153,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 iou_threshold=iou_threshold, nms_iou=nms_iou, use_lhs=use_lhs,
                 samecls_match=samecls_match, dataset=dataset,
                 view_stats=view_stats,
-                ema_rows_are_unlabeled=teacher_unlabeled_only,
+                ema_rows_are_unlabeled=not reference_exact,
             )
             loss = sup_loss + unlabeled_weight * unsup_loss
             m1.update(m2)

@@ -163,25 +163,47 @@ def test_host_local_batch_to_global():
     assert len(g["a"].sharding.device_set) == 8
 
 
-def test_teacher_unlabeled_only_matches_full_batch(setup):
-    """teacher_unlabeled_only=True (default) runs the teacher on only the
-    unlabeled scenes; the reference discards the teacher's labeled rows, so
-    the sole coupling is the teacher's train-mode BN batch statistics. With
-    every ema cloud identical those statistics coincide (mean/var over 8 vs
-    12 copies of the same rows), and the step loss must agree."""
+def test_jitter_rows_matches_full_jitter_in_eval_mode(setup):
+    """The jitter_rows restructure (GridConv on (B+nl, K) boxes, jitter rows
+    riding along as extra scenes) must be per-box identical to the reference
+    (B, 2K) layout. In eval mode BatchNorm uses running statistics — the only
+    thing the restructure changes, the train-mode batch-stat population, is
+    out of the picture — so iou_scores and the labeled rows' jitter scores
+    must agree exactly."""
     model, cfg, state, _ = setup
     rng = np.random.RandomState(3)
     batch = _ssl_batch(rng, cfg, bl=1, bu=2)
-    one = batch["ema_point_clouds"][:1]
-    batch["ema_point_clouds"] = jnp.tile(one, (3, 1, 1))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    jrng = jax.random.PRNGKey(7)
 
-    step_fast = make_ssl_step(model, cfg, num_labeled=1,
-                              teacher_unlabeled_only=True)
-    step_full = make_ssl_step(model, cfg, num_labeled=1,
-                              teacher_unlabeled_only=False)
-    _, m_fast = step_fast(_donable(state), batch, jax.random.PRNGKey(4), 2e-3, 0.5)
-    _, m_full = step_full(_donable(state), batch, jax.random.PRNGKey(4), 2e-3, 0.5)
-    np.testing.assert_allclose(float(m_fast["loss"]), float(m_full["loss"]),
-                               rtol=1e-5)
-    np.testing.assert_allclose(float(m_fast["unsupervised_loss"]),
-                               float(m_full["unsupervised_loss"]), rtol=1e-5)
+    ep_full = model.apply(variables, batch["point_clouds"], jrng, train=False,
+                          method=model.forward_with_pred_jitter)
+    ep_fast = model.apply(variables, batch["point_clouds"], jrng, train=False,
+                          method=model.forward_with_pred_jitter, jitter_rows=1)
+
+    np.testing.assert_allclose(np.asarray(ep_fast["iou_scores"]),
+                               np.asarray(ep_full["iou_scores"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ep_fast["iou_scores_jitter"]),
+                               np.asarray(ep_full["iou_scores_jitter"][:1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ep_fast["jitter_center"]),
+                               np.asarray(ep_full["jitter_center"][:1]),
+                               rtol=1e-6, atol=1e-6)
+    assert ep_fast["jitter_size"].shape == (1,) + ep_full["jitter_size"].shape[1:]
+
+
+def test_reference_exact_step_runs(setup):
+    """Both the fast default and the reference-exact SSL step run and
+    produce finite, param-moving updates."""
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(5)
+    batch = _ssl_batch(rng, cfg, bl=1, bu=2)
+    for exact in (False, True):
+        step = make_ssl_step(model, cfg, num_labeled=1, reference_exact=exact)
+        new_state, m = step(_donable(state), batch, jax.random.PRNGKey(4), 2e-3, 0.5)
+        assert np.isfinite(float(m["loss"])), exact
+        assert np.isfinite(float(m["unsupervised_loss"])), exact
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params, new_state.params)
+        assert max(jax.tree.leaves(d)) > 0
