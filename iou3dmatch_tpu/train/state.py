@@ -6,12 +6,20 @@ Checkpoint contents mirror the reference torch.save dicts
 {step, params, batch_stats, opt_state} (+ ema_params / ema_batch_stats for
 the SSL stage). Adam matches torch defaults (betas 0.9/0.999, eps 1e-8,
 optional additive L2 weight decay applied before the moment updates).
+
+The optimizer runs on the RAVELED parameter vector (one flat f32 buffer)
+rather than leaf-by-leaf: Adam is elementwise, so the flat form is
+bit-identical, but it compiles to a handful of wide VPU kernels instead of
+~3 small fusions per parameter leaf (~120 leaves), which profiling showed
+costing ~3 ms/step in kernel-launch overhead on the v5e. ``opt_state``
+therefore holds flat moment vectors.
 """
 from typing import Any, Optional
 
 import jax
 import optax
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 
 @struct.dataclass
@@ -48,7 +56,7 @@ def create_train_state(model, rng, example_batch, with_ema=False, weight_decay=0
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(weight_decay)
-    opt_state = tx.init(params)
+    opt_state = tx.init(ravel_pytree(params)[0])
     # jnp.copy (not identity): the EMA tree must hold DISTINCT buffers —
     # the train steps donate the whole TrainState, and donating the same
     # buffer twice (params + aliased ema_params) is a runtime error.

@@ -16,7 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
+from jax.flatten_util import ravel_pytree
 
 from ..losses import get_labeled_loss, get_loss, get_unlabeled_loss
 from .state import TrainState, make_optimizer
@@ -25,6 +25,19 @@ from .state import TrainState, make_optimizer
 def ema_update(ema_params, params, alpha):
     """ema = alpha * ema + (1 - alpha) * param (train.py:285-289)."""
     return jax.tree.map(lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, params)
+
+
+def _flat_apply_updates(tx, state, grads, lr):
+    """Adam + parameter update on the raveled parameter vector.
+
+    Elementwise, so bit-identical to the leaf-by-leaf form, but ~120 leaves
+    × ~3 fusions collapse into a few wide kernels (see train/state.py).
+    Returns (new_params_tree, flat_new_params, unravel, new_opt_state)."""
+    flat_p, unravel = ravel_pytree(state.params)
+    flat_g, _ = ravel_pytree(grads)
+    updates, new_opt = tx.update(flat_g, state.opt_state, flat_p)
+    flat_new_p = flat_p - lr * updates
+    return unravel(flat_new_p), flat_new_p, unravel, new_opt
 
 
 def make_pretrain_step(model, cfg, weight_decay=0.0):
@@ -51,9 +64,7 @@ def make_pretrain_step(model, cfg, weight_decay=0.0):
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, _, _, new_opt = _flat_apply_updates(tx, state, grads, lr)
         metrics["loss"] = loss
         new_state = state.replace(
             params=new_params, batch_stats=new_bs, opt_state=new_opt,
@@ -164,15 +175,16 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, flat_new_p, unravel, new_opt = _flat_apply_updates(
+            tx, state, grads, lr)
 
         global_step = state.step
         alpha = jnp.minimum(
             1.0 - 1.0 / (global_step.astype(jnp.float32) + 1.0), ema_decay
         )
-        new_ema = ema_update(state.ema_params, new_params, alpha)
+        # EMA lerp on the flat vector too (same kernel-count argument).
+        flat_ema, _ = ravel_pytree(state.ema_params)
+        new_ema = unravel(alpha * flat_ema + (1.0 - alpha) * flat_new_p)
 
         metrics["loss"] = loss
         new_state = state.replace(
