@@ -9,7 +9,9 @@ optional additive L2 weight decay applied before the moment updates).
 
 The optimizer runs on the RAVELED parameter vector (one flat f32 buffer)
 rather than leaf-by-leaf: Adam is elementwise, so the flat form is
-bit-identical, but it compiles to a handful of wide VPU kernels instead of
+numerically identical (to f32-ULP fusion rounding — see
+tests/test_train.py::test_flat_adam_matches_leafwise), but it compiles to
+a handful of wide VPU kernels instead of
 ~3 small fusions per parameter leaf (~120 leaves), which profiling showed
 costing ~3 ms/step in kernel-launch overhead on the v5e. ``opt_state``
 therefore holds flat moment vectors.

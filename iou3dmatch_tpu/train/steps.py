@@ -30,8 +30,9 @@ def ema_update(ema_params, params, alpha):
 def _flat_apply_updates(tx, state, grads, lr):
     """Adam + parameter update on the raveled parameter vector.
 
-    Elementwise, so bit-identical to the leaf-by-leaf form, but ~120 leaves
-    × ~3 fusions collapse into a few wide kernels (see train/state.py).
+    Elementwise, so numerically identical to the leaf-by-leaf form (to
+    f32-ULP fusion rounding), but ~120 leaves × ~3 fusions collapse into a
+    few wide kernels (see train/state.py).
     Returns (new_params_tree, flat_new_params, unravel, new_opt_state)."""
     flat_p, unravel = ravel_pytree(state.params)
     flat_g, _ = ravel_pytree(grads)

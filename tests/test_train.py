@@ -193,6 +193,44 @@ def test_jitter_rows_matches_full_jitter_in_eval_mode(setup):
     assert ep_fast["jitter_size"].shape == (1,) + ep_full["jitter_size"].shape[1:]
 
 
+def test_flat_adam_matches_leafwise(setup):
+    """The flat-raveled Adam/EMA update (train/steps.py::_flat_apply_updates)
+    must match the per-leaf optax form — Adam is elementwise, so raveling only
+    changes kernel granularity. Equality is to f32-ULP tolerance: XLA fuses
+    the flat path differently (FMA contraction), so exact bitwise equality
+    with the op-by-op leaf path is not guaranteed."""
+    import optax
+    from iou3dmatch_tpu.train.state import make_optimizer
+    from iou3dmatch_tpu.train.steps import _flat_apply_updates
+    from jax.flatten_util import ravel_pytree
+
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(11)
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+        state.params,
+    )
+    lr = 1e-3
+
+    for weight_decay in (0.0, 1e-4):
+        tx = make_optimizer(weight_decay)
+        flat_state = state.replace(opt_state=tx.init(ravel_pytree(state.params)[0]))
+        new_flat = jax.jit(
+            lambda s, g: _flat_apply_updates(tx, s, g, lr)[0]
+        )(flat_state, grads)
+
+        leaf_opt = tx.init(state.params)
+        updates, _ = tx.update(grads, leaf_opt, state.params)
+        new_leaf = optax.apply_updates(
+            state.params, jax.tree.map(lambda u: -lr * u, updates)
+        )
+
+        for a, b in zip(jax.tree.leaves(new_flat), jax.tree.leaves(new_leaf)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-7, atol=1e-9
+            )
+
+
 def test_reference_exact_step_runs(setup):
     """Both the fast default and the reference-exact SSL step run and
     produce finite, param-moving updates."""
