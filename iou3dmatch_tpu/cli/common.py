@@ -25,7 +25,10 @@ def make_config_dict(cfg, args):
         "cls_nms": True,
         "use_iou_for_nms": bool(getattr(args, "use_iou_for_nms", False)),
         "per_class_proposal": True,
-        "conf_thresh": 0.05,
+        "conf_thresh": getattr(args, "conf_thresh", 0.05),
+        # carried for CONFIG_DICT parity with pretrain.py:231; the reference
+        # never reads it anywhere (vestigial knob)
+        "iou_weight": getattr(args, "iou_weight", 1.0),
         "obj_threshold": getattr(args, "obj_threshold", 0.9),
         "cls_threshold": getattr(args, "cls_threshold", 0.9),
         "use_lhs": True,
@@ -36,6 +39,13 @@ def make_config_dict(cfg, args):
 def _data_root(args, sub):
     root = getattr(args, "data_path", None)
     return os.path.join(root, sub) if root else sub
+
+
+def _sunrgbd_dir(args, split):
+    """v1 (default) or v2 box-label dumps (--use_sunrgbd_v2, mirroring
+    use_v1=(not FLAGS.use_sunrgbd_v2) at pretrain.py:137/train.py:119)."""
+    ver = "v2" if getattr(args, "use_sunrgbd_v2", False) else "v1"
+    return f"sunrgbd_pc_bbox_votes_50k_{ver}_{split}"
 
 
 def build_supervised_datasets(args):
@@ -66,13 +76,13 @@ def build_supervised_datasets(args):
     else:
         from ..data.sunrgbd import SunrgbdDetectionVotesDataset
 
-        data_path = _data_root(args, "sunrgbd_pc_bbox_votes_50k_v1_train")
+        data_path = _data_root(args, _sunrgbd_dir(args, "train"))
         split_dir = _data_root(args, "sunrgbd_trainval")
         train_ds = SunrgbdDetectionVotesDataset(
             data_path, split_dir, labeled_sample_list=args.labeled_sample_list,
             num_points=args.num_point, augment=True, use_height=not args.no_height,
             use_color=args.use_color)
-        eval_data_path = _data_root(args, "sunrgbd_pc_bbox_votes_50k_v1_val")
+        eval_data_path = _data_root(args, _sunrgbd_dir(args, "val"))
         eval_ds = SunrgbdDetectionVotesDataset(
             eval_data_path, num_points=args.num_point, augment=False,
             use_height=not args.no_height, use_color=args.use_color)
@@ -115,7 +125,7 @@ def build_ssl_datasets(args):
             SunrgbdDetectionVotesDataset, SunrgbdSSLLabeledDataset,
             SunrgbdSSLUnlabeledDataset)
 
-        data_path = _data_root(args, "sunrgbd_pc_bbox_votes_50k_v1_train")
+        data_path = _data_root(args, _sunrgbd_dir(args, "train"))
         split_dir = _data_root(args, "sunrgbd_trainval")
         labeled = SunrgbdSSLLabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
@@ -125,7 +135,7 @@ def build_ssl_datasets(args):
             data_path, split_dir, args.labeled_sample_list,
             num_points=args.num_point, use_height=not args.no_height,
             use_color=args.use_color, load_labels=load_labels)
-        eval_data_path = _data_root(args, "sunrgbd_pc_bbox_votes_50k_v1_val")
+        eval_data_path = _data_root(args, _sunrgbd_dir(args, "val"))
         eval_ds = SunrgbdDetectionVotesDataset(
             eval_data_path, num_points=args.num_point, augment=False,
             use_height=not args.no_height, use_color=args.use_color)

@@ -38,12 +38,23 @@ def parse_args(argv=None):
     p.add_argument("--bn_decay_rate", type=float, default=0.5)
     p.add_argument("--no_height", action="store_true")
     p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_sunrgbd_v2", action="store_true",
+                   help="V2 box labels for SUN RGB-D (pretrain.py:62)")
+    p.add_argument("--vote_factor", type=int, default=1,
+                   help="votes generated per seed (pretrain.py:47)")
+    p.add_argument("--iou_weight", type=float, default=1.0,
+                   help="kept for CONFIG_DICT parity (pretrain.py:65,231); "
+                        "the reference never consumes it")
     p.add_argument("--ap_iou_thresh", type=float, default=0.25)
     p.add_argument("--eval_interval", type=int, default=50)
     p.add_argument("--save_interval", type=int, default=200)
     p.add_argument("--print_interval", type=int, default=10)
     p.add_argument("--use_iou_for_nms", action="store_true")
     p.add_argument("--dump_results", action="store_true")
+    p.add_argument("--dump_dir", default=None,
+                   help="where --dump_results PLYs go [default: <log_dir>/dump]")
+    p.add_argument("--overwrite", action="store_true",
+                   help="confirm-and-wipe an existing log dir (pretrain.py:97-105)")
     p.add_argument("--eval", action="store_true", help="evaluate only, no training")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated scenes (no dataset dumps needed)")
@@ -81,6 +92,20 @@ def main(argv=None):
     from .common import (MetricAverager, fetch_metrics, build_supervised_datasets, evaluate,
                          make_config_dict)
 
+    dump_dir = args.dump_dir or os.path.join(args.log_dir, "dump")
+    if os.path.exists(args.log_dir) and args.overwrite:
+        # same interactive confirm as the reference (pretrain.py:97-105)
+        print(f"Log folder {args.log_dir} already exists. "
+              "Are you sure to overwrite? (Y/N)")
+        c = input()
+        if c.lower() != "y":
+            print("Exiting..")
+            return
+        import shutil
+
+        shutil.rmtree(args.log_dir, ignore_errors=True)
+        shutil.rmtree(dump_dir, ignore_errors=True)
+
     logger = Logger(args.log_dir)
     logger(str(args))
     lr_steps = [int(x) for x in args.lr_decay_steps.split(",")]
@@ -97,7 +122,8 @@ def main(argv=None):
         args.dataset, num_proposal=args.num_target,
         input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
         sampling=args.cluster_sampling, tiny=args.tiny,
-        compute_dtype="bfloat16" if args.bf16 else None)
+        compute_dtype="bfloat16" if args.bf16 else None,
+        vote_factor=args.vote_factor)
     example = next(iter(DataLoader(train_ds, 1, shuffle=False, num_workers=1)))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
                                weight_decay=args.weight_decay)
@@ -120,7 +146,7 @@ def main(argv=None):
     if args.eval:
         evaluate(model, cfg, state, eval_loader, config_dict, logger,
                  eval_forward, (0.25, 0.5),
-                 dump_dir=os.path.join(args.log_dir, "dump") if args.dump_results else None)
+                 dump_dir=dump_dir if args.dump_results else None)
         return
 
     rng = jax.random.PRNGKey(args.seed + 1)

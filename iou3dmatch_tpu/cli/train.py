@@ -48,6 +48,18 @@ def parse_args(argv=None):
     p.add_argument("--iou_threshold", type=float, default=0.25)
     p.add_argument("--no_height", action="store_true")
     p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_sunrgbd_v2", action="store_true",
+                   help="V2 box labels for SUN RGB-D (train.py:41)")
+    p.add_argument("--vote_factor", type=int, default=1,
+                   help="votes generated per seed (train.py:43)")
+    p.add_argument("--model", default="votenet",
+                   help="kept for flag parity (train.py:32); the reference "
+                        "imports VoteNet directly and never reads this")
+    p.add_argument("--conf_thresh", type=float, default=0.05,
+                   help="eval proposal confidence threshold (train.py:67,268)")
+    p.add_argument("--ap_iou_thresh", type=float, default=0.25,
+                   help="kept for flag parity (train.py:46); the reference "
+                        "evaluates at the hardcoded [0.25, 0.5] (train.py:374)")
     p.add_argument("--eval_interval", type=int, default=25)
     p.add_argument("--save_interval", type=int, default=200)
     p.add_argument("--print_interval", type=int, default=10)
@@ -124,7 +136,8 @@ def main(argv=None):
         args.dataset, num_proposal=args.num_target,
         input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
         sampling=args.cluster_sampling, tiny=args.tiny,
-        compute_dtype="bfloat16" if args.bf16 else None)
+        compute_dtype="bfloat16" if args.bf16 else None,
+        vote_factor=args.vote_factor)
     example = next(iter(DataLoader(labeled_ds, 1, shuffle=False, num_workers=1)))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
                                with_ema=True, weight_decay=args.weight_decay)

@@ -15,6 +15,7 @@ def build_votenet(
     tiny: bool = False,
     compute_dtype=None,
     fps_prefix: bool = True,
+    vote_factor: int = 1,
 ):
     """Returns (model, dataset_config). Defaults mirror pretrain.py:41-70."""
     cfg = get_config(dataset)
@@ -34,6 +35,7 @@ def build_votenet(
         query_feats=query_feats,
         compute_dtype=compute_dtype,
         fps_prefix=fps_prefix,
+        vote_factor=vote_factor,
         **kwargs,
     )
     return model, cfg

@@ -30,6 +30,33 @@ def test_ssl_train_defaults_match_reference():
     assert a.opt_rate == 0.01
 
 
+def test_full_reference_flag_surface():
+    """Every reference driver flag parses (pretrain.py:41-70, train.py:31-71),
+    including the vestigial ones carried for parity, and the knobs thread
+    into CONFIG_DICT / dataset paths."""
+    from iou3dmatch_tpu.cli.common import _sunrgbd_dir, make_config_dict
+    from iou3dmatch_tpu.data import get_config
+
+    a = cli_pretrain.parse_args([
+        "--vote_factor", "2", "--use_sunrgbd_v2", "--iou_weight", "0.5",
+        "--dump_dir", "/tmp/d", "--overwrite", "--ap_iou_thresh", "0.5",
+    ])
+    assert a.vote_factor == 2 and a.use_sunrgbd_v2 and a.overwrite
+    assert a.dump_dir == "/tmp/d"
+    cd = make_config_dict(get_config("scannet"), a)
+    assert cd["iou_weight"] == 0.5            # pretrain.py:231
+    assert _sunrgbd_dir(a, "train") == "sunrgbd_pc_bbox_votes_50k_v2_train"
+
+    t = cli_train.parse_args([
+        "--conf_thresh", "0.1", "--model", "votenet", "--vote_factor", "3",
+        "--ap_iou_thresh", "0.5",
+    ])
+    assert t.conf_thresh == 0.1 and t.vote_factor == 3
+    cd = make_config_dict(get_config("scannet"), t)
+    assert cd["conf_thresh"] == 0.1           # train.py:268
+    assert _sunrgbd_dir(t, "val") == "sunrgbd_pc_bbox_votes_50k_v1_val"
+
+
 def test_eval_flags_roundtrip():
     a = cli_train.parse_args([
         "--eval", "--use_iou_for_nms", "--opt_step", "10", "--opt_rate", "0.05",
