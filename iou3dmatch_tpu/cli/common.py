@@ -111,11 +111,12 @@ def build_ssl_datasets(args):
         split_dir = _data_root(args, "meta_data")
         labeled = ScannetSSLLabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
-            num_points=args.num_point, use_height=not args.no_height,
-            use_color=args.use_color)
+            num_points=args.num_point, augment=True,
+            use_height=not args.no_height, use_color=args.use_color)
         unlabeled = ScannetSSLUnlabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
-            num_points=args.num_point, use_height=not args.no_height,
+            num_points=args.num_point, augment=True,
+            use_height=not args.no_height,
             use_color=args.use_color, load_labels=load_labels)
         eval_ds = ScannetDetectionDataset(
             data_path, split_dir, "val", num_points=args.num_point,
@@ -129,11 +130,12 @@ def build_ssl_datasets(args):
         split_dir = _data_root(args, "sunrgbd_trainval")
         labeled = SunrgbdSSLLabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
-            num_points=args.num_point, use_height=not args.no_height,
-            use_color=args.use_color)
+            num_points=args.num_point, augment=True,
+            use_height=not args.no_height, use_color=args.use_color)
         unlabeled = SunrgbdSSLUnlabeledDataset(
             data_path, split_dir, args.labeled_sample_list,
-            num_points=args.num_point, use_height=not args.no_height,
+            num_points=args.num_point, augment=True,
+            use_height=not args.no_height,
             use_color=args.use_color, load_labels=load_labels)
         eval_data_path = _data_root(args, _sunrgbd_dir(args, "val"))
         eval_ds = SunrgbdDetectionVotesDataset(

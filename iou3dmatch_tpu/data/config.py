@@ -13,24 +13,24 @@ import numpy as np
 
 _SCANNET_MEAN_SIZES = np.array(
     [
-        [0.76966726, 0.81160211, 0.92573741],
-        [1.876858, 1.84255952, 1.19315654],
-        [0.61327999, 0.61486087, 0.71827014],
-        [1.39550063, 1.51215451, 0.83443565],
-        [0.97949596, 1.06751485, 0.63296875],
-        [0.53166301, 0.59555772, 1.75001483],
-        [0.96247056, 0.72462326, 1.14818682],
-        [0.83221924, 1.04909355, 1.68756634],
-        [0.21132214, 0.4206159, 0.53728459],
-        [1.44400728, 1.89708334, 0.26985747],
-        [1.02942616, 1.40407966, 0.87554322],
-        [1.37664116, 0.65521793, 1.68131292],
-        [0.66508189, 0.71111926, 1.29885307],
-        [0.41999174, 0.37906947, 1.75139715],
-        [0.59359559, 0.59124924, 0.73919014],
-        [0.50867595, 0.50656087, 0.30136236],
-        [1.15115265, 1.0546296, 0.49706794],
-        [0.47535286, 0.49249493, 0.58021168],
+        [0.7696672604054122, 0.8116021117472902, 0.9257374136145354],
+        [1.8768580001697206, 1.842559515802484, 1.1931565443674723],
+        [0.6132799886259447, 0.6148608680507913, 0.7182701427611315],
+        [1.3955006289669847, 1.5121545143953459, 0.8344356450508899],
+        [0.9794959591575039, 1.067514848627126, 0.6329687451853335],
+        [0.5316630050523676, 0.5955577157376698, 1.7500148278367265],
+        [0.9624705646410668, 0.724623255389463, 1.1481868198746867],
+        [0.8322192367698465, 1.0490935469312328, 1.6875663369894027],
+        [0.21132214086709308, 0.4206159026354871, 0.5372845894025259],
+        [1.444007275463308, 1.897083342075348, 0.2698574721523859],
+        [1.0294261633133401, 1.4040796643617202, 0.875543219276837],
+        [1.3766411551957802, 0.6552179310711618, 1.6813129177564903],
+        [0.665081893931554, 0.7111192617003478, 1.298853067379424],
+        [0.41999173755044333, 0.3790694684595675, 1.7513971522047713],
+        [0.5935955854113569, 0.5912492439611671, 0.7391901372634259],
+        [0.5086759479906277, 0.506560866579865, 0.30136235530383004],
+        [1.151152646430185, 1.054629599379602, 0.4970679366700003],
+        [0.47535286277763605, 0.492494933218611, 0.5802116805268812],
     ]
 )
 

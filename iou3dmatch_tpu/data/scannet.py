@@ -120,6 +120,16 @@ def _box_labels(instance_bboxes, target_bboxes):
     return size_classes, size_residuals, target_bboxes_semcls, class_ind
 
 
+def _scene_label(class_ind):
+    """Multi-hot class-presence vector (scannet_detection_dataset.py:218-222,
+    scannet_ssl_dataset.py:170-175). Emitted but unconsumed by the reference
+    training code; kept for batch-surface parity."""
+    scene_label = np.zeros(DC.num_class)
+    for ind in set(class_ind):
+        scene_label[int(ind)] = 1
+    return scene_label.astype(np.float32)
+
+
 class ScannetDetectionDataset:
     """Supervised dataset (scannet_detection_dataset.py:31-258)."""
 
@@ -174,7 +184,7 @@ class ScannetDetectionDataset:
         point_votes, point_votes_mask = _compute_votes(
             point_cloud, instance_labels, semantic_labels, self.num_points
         )
-        size_classes, size_residuals, semcls, _ = _box_labels(
+        size_classes, size_residuals, semcls, class_ind = _box_labels(
             instance_bboxes, target_bboxes
         )
 
@@ -191,6 +201,7 @@ class ScannetDetectionDataset:
             "vote_label_mask": point_votes_mask.astype(np.int64),
             "scan_idx": np.array(idx).astype(np.int64),
             "supervised_mask": np.array(1).astype(np.int64),
+            "scene_label": _scene_label(class_ind),
         }
 
 
@@ -244,7 +255,7 @@ class ScannetSSLLabeledDataset:
         point_votes, point_votes_mask = _compute_votes(
             point_cloud, instance_labels, semantic_labels, self.num_points
         )
-        size_classes, size_residuals, semcls, _ = _box_labels(
+        size_classes, size_residuals, semcls, class_ind = _box_labels(
             instance_bboxes, target_bboxes
         )
 
@@ -261,6 +272,7 @@ class ScannetSSLLabeledDataset:
             "vote_label_mask": point_votes_mask.astype(np.int64),
             "scan_idx": np.array(idx).astype(np.int64),
             "supervised_mask": np.array(1).astype(np.int64),
+            "scene_label": _scene_label(class_ind),
             "ema_point_clouds": ema_point_cloud.astype(np.float32),
             "flip_x_axis": np.array(flip_x_axis).astype(np.int64),
             "flip_y_axis": np.array(flip_y_axis).astype(np.int64),

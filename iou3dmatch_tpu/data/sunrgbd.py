@@ -251,21 +251,31 @@ class SunrgbdSSLUnlabeledDataset:
         scan_name = self.scan_names[idx]
         raw_pc, bboxes, point_votes = _load_scan(self.data_path, scan_name)
         point_votes = point_votes.copy()
-        point_cloud = _prep_cloud(raw_pc, self.use_color, self.use_height)
-        ema_point_cloud = random_sampling(point_cloud, self.num_points)
+        raw_point_cloud = _prep_cloud(raw_pc, self.use_color, self.use_height)
+        ema_point_cloud = random_sampling(raw_point_cloud, self.num_points)
 
+        # Reference RNG order (sunrgbd_ssl_dataset.py:281-303): the student
+        # view is SAMPLED FIRST, then augmented points-only — x-flip,
+        # ±30° z-rotation, scale; no vote/box transforms, no color jitter.
+        point_cloud, _ = random_sampling(
+            raw_point_cloud, self.num_points, return_choices=True
+        )
         flip_x_axis = 0
         rot_mat = np.identity(3)
         rot_angle = 0.0
         scale_ratio = np.ones((1, 3))
         if self.augment:
-            flip_x_axis, rot_mat, rot_angle, scale_ratio = _augment(
-                point_cloud, None, point_votes, self.use_color, self.use_height,
-                flip_boxes=False,
-            )
-        point_cloud, _ = random_sampling(
-            point_cloud, self.num_points, return_choices=True
-        )
+            if np.random.random() > 0.5:
+                flip_x_axis = 1
+                point_cloud[:, 0] = -1 * point_cloud[:, 0]
+            rot_angle = (np.random.random() * np.pi / 3) - np.pi / 6
+            rot_mat = rotz(rot_angle)
+            point_cloud[:, 0:3] = np.dot(point_cloud[:, 0:3], np.transpose(rot_mat))
+            scale_ratio = np.random.random() * 0.3 + 0.85
+            scale_ratio = np.expand_dims(np.tile(scale_ratio, 3), 0)
+            point_cloud[:, 0:3] *= scale_ratio
+            if self.use_height:
+                point_cloud[:, -1] *= scale_ratio[0, 0]
         ret = {
             "ema_point_clouds": ema_point_cloud.astype(np.float32),
             "point_clouds": point_cloud.astype(np.float32),

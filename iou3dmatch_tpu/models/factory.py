@@ -23,7 +23,8 @@ def build_votenet(
     kwargs = {}
     if tiny:
         kwargs = dict(sa_npoints=TINY_SA_NPOINTS)
-        num_proposal = min(num_proposal, 16)
+        if num_proposal == 128:  # shrink the default; explicit values win
+            num_proposal = 16
     model = VoteNet(
         num_class=cfg.num_class,
         num_heading_bin=cfg.num_heading_bin,
