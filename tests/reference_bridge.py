@@ -78,6 +78,13 @@ def load(module_name):
     pcdet_ops.iou3d_nms = pcdet_nms
     pcdet_nms.iou3d_nms_utils = sys.modules["pcdet.ops.iou3d_nms.iou3d_nms_utils"]
 
+    # pointnet2_utils' own escape hatch for importing without the CUDA _ext
+    # (pointnet2/pointnet2_utils.py:23-34); the ops are only touched at call
+    # time, which the diff tests never do.
+    import builtins
+
+    builtins.__POINTNET2_SETUP__ = True
+
     import torch
 
     if not torch.cuda.is_available():

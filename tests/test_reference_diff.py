@@ -551,6 +551,110 @@ def test_get_unlabeled_loss_matches_reference():
             err_msg=key)
 
 
+def test_decode_and_bbox_calc_match_reference():
+    """Proposal head decode (softplus−1 size residuals, π/NH heading
+    normalization; proposal_module.py:24-54) and the argmax box decode with
+    HALF sizes (votenet_iou_branch.py:111-137), against the reference on the
+    same raw head output."""
+    import torch
+
+    ref_prop = load("models.proposal_module")
+    ref_vote = load("models.votenet_iou_branch")
+    ref_sc = load("scannet.model_util_scannet")
+    from iou3dmatch_tpu.models.factory import build_votenet
+
+    model, cfg = build_votenet("scannet", tiny=True)
+    nh, ns, nc = cfg.num_heading_bin, cfg.num_size_cluster, cfg.num_class
+    rng = np.random.RandomState(17)
+    b, k = 2, 16
+    out_dim = 2 + 3 + nh * 2 + ns * 4 + nc
+    net = rng.randn(b, k, out_dim).astype(np.float32)
+    agg_xyz = rng.uniform(-2, 2, (b, k, 3)).astype(np.float32)
+
+    ref_dc = ref_sc.ScannetDatasetConfig()
+    ref_ep = {"aggregated_vote_xyz": torch.from_numpy(agg_xyz)}
+    ref_ep = ref_prop.decode_scores(
+        torch.from_numpy(net).transpose(2, 1), ref_ep, nc, nh, ns,
+        ref_dc.mean_size_arr)
+
+    from iou3dmatch_tpu.models.proposal import ProposalModule
+
+    mean_tuple = tuple(tuple(float(v) for v in row) for row in cfg.mean_size_arr)
+    pnet = ProposalModule(num_class=nc, num_heading_bin=nh,
+                          num_size_cluster=ns, mean_size_arr=mean_tuple,
+                          num_proposal=k)
+    ep = pnet.decode_scores(net, {"aggregated_vote_xyz": agg_xyz})
+    for key in ["objectness_scores", "center", "heading_scores",
+                "heading_residuals_normalized", "heading_residuals",
+                "size_scores", "size_residuals_normalized", "size_residuals",
+                "sem_cls_scores"]:
+        np.testing.assert_allclose(
+            np.asarray(ep[key]), ref_ep[key].numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=key)
+
+    # calculate_bbox needs a reference VoteNet *instance*; bypass __init__
+    # (which builds CUDA submodules) and set only the fields it reads
+    ref_net = ref_vote.VoteNet.__new__(ref_vote.VoteNet)
+    ref_net.mean_size_arr = ref_dc.mean_size_arr
+    ref_net.dataset_config = ref_dc
+    r_center, r_size, r_heading = ref_vote.VoteNet.calculate_bbox(ref_net, ref_ep)
+
+    center, size, heading = model.calculate_bbox(dict(ep))
+    np.testing.assert_allclose(np.asarray(center), r_center.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(size), r_size.numpy(), rtol=1e-5,
+                               atol=1e-6, err_msg="half sizes")
+    np.testing.assert_allclose(np.asarray(heading), r_heading.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ssl_frame_transforms_match_reference():
+    """trans_center / trans_size / trans_angle — the teacher→student label
+    transforms (loss_helper_unlabeled.py:24-64) — on random draws, including
+    the SUN RGB-D 12-bin angle re-binning under flips+rotation."""
+    import torch
+
+    ref_unl = load("models.loss_helper_unlabeled")
+    ref_su = load("sunrgbd.model_util_sunrgbd")
+    from iou3dmatch_tpu.data.config import SunrgbdConfig
+    from iou3dmatch_tpu.data.pc_util import rotz
+    from iou3dmatch_tpu.losses.unlabeled import (
+        trans_angle, trans_center, trans_size)
+
+    rng = np.random.RandomState(23)
+    b, n = 3, 10
+    center = rng.uniform(-3, 3, (b, n, 3)).astype(np.float32)
+    flip_x = rng.randint(0, 2, (b,)).astype(np.int64)
+    flip_y = rng.randint(0, 2, (b,)).astype(np.int64)
+    angles = rng.uniform(-0.5, 0.5, b).astype(np.float32)
+    rot = np.stack([rotz(a) for a in angles]).astype(np.float32)
+    scale = np.tile(rng.uniform(0.85, 1.15, (b, 1, 1)), (1, 1, 3)).astype(np.float32)
+
+    t = lambda x: torch.from_numpy(np.array(x))
+    r_center = ref_unl.trans_center(t(center), t(flip_x), t(flip_y), t(rot), t(scale))
+    np.testing.assert_allclose(
+        np.asarray(trans_center(center, flip_x, flip_y, rot, scale)),
+        r_center.numpy(), rtol=1e-5, atol=1e-6)
+
+    cfg = SunrgbdConfig()
+    ref_dc = ref_su.SunrgbdDatasetConfig()
+    size_cls = rng.randint(0, cfg.num_size_cluster, (b, n))
+    size_res = (rng.randn(b, n, 3) * 0.1).astype(np.float32)
+    r_size_res = ref_unl.trans_size(t(size_cls), t(size_res), t(scale), ref_dc)
+    np.testing.assert_allclose(
+        np.asarray(trans_size(size_cls, size_res, scale, cfg)),
+        r_size_res.numpy(), rtol=1e-5, atol=1e-6)
+
+    hcls = rng.randint(0, cfg.num_heading_bin, (b, n))
+    hres = rng.uniform(-np.pi / 12, np.pi / 12, (b, n)).astype(np.float32)
+    r_cls, r_res = ref_unl.trans_angle(
+        t(hcls), t(hres), t(flip_x), t(flip_y), t(angles), ref_dc)
+    o_cls, o_res = trans_angle(hcls, hres, flip_x, flip_y, angles, cfg)
+    np.testing.assert_array_equal(np.asarray(o_cls), r_cls.numpy())
+    np.testing.assert_allclose(np.asarray(o_res), r_res.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
 # --------------------------------------------- dataset __getitem__ bit parity
 def _write_fake_scannet(tmp_path, rng, n=4000):
     verts = np.zeros((n, 6), np.float32)
