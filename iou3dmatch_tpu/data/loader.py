@@ -1,13 +1,25 @@
 """Host-side data loading: shuffled batching, SSL batch mixing, prefetch.
 
 Replaces torch DataLoader usage (train.py:103-162, pretrain.py:124-162).
-Workers are threads (NumPy releases the GIL for the heavy ops); a
+Workers default to PROCESSES on multi-core hosts (like the reference's
+DataLoader workers): the per-scene NumPy pipeline holds the GIL for most of
+its ops — an 8-thread pool measured ZERO speedup over one thread. A real
+40k-point ScanNet scene costs ~11 ms to load+augment (~90 scenes/s/core),
+so a multi-core TPU host keeps a 168 scenes/s device step fed with 2+
+process workers; on a single-core host (like this dev container) no worker
+model can help and threads avoid the fork/IPC overhead (auto-detected).
+Fork-based workers inherit the dataset; each sample is drawn under a
+DETERMINISTIC per-(epoch, index) np.random seed, which is stronger than the
+reference's per-worker seeding (train.py:157-162 + the np.random.seed()
+entropy reseed at :562-564) while sampling from the same distribution. A
 double-buffered prefetcher overlaps host batch assembly with device steps —
 the TPU equivalent of pinned-memory + async H2D copies.
 """
+import multiprocessing
+import os
 import threading
 import queue as queue_mod
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -17,17 +29,39 @@ def collate(samples):
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+_WORKER_DS = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_get(args):
+    idx, sample_seed = args
+    if sample_seed is not None:
+        np.random.seed(sample_seed)
+    return _WORKER_DS[idx]
+
+
 class DataLoader:
-    """Epoch-shuffled batch iterator with a thread pool for __getitem__."""
+    """Epoch-shuffled batch iterator with a process (default) or thread
+    pool for __getitem__."""
 
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
-                 num_workers=4, seed=0):
+                 num_workers=4, seed=0, worker_type=None):
+        if worker_type is None:
+            worker_type = "process" if (os.cpu_count() or 1) > 1 else "thread"
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self.worker_type = worker_type
+        self._pool = None
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -35,16 +69,62 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _get_pool(self):
+        """Persistent worker pool (process startup is ~100 ms/worker —
+        amortize it across epochs). Falls back to threads when fork is
+        unavailable or the dataset won't pickle."""
+        if self._pool is None:
+            if self.worker_type == "process" and self.num_workers > 0:
+                try:
+                    ctx = multiprocessing.get_context("fork")
+                    self._pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers, mp_context=ctx,
+                        initializer=_init_worker, initargs=(self.dataset,))
+                    # fail fast (unpicklable dataset, no fork, ...)
+                    next(iter(self._pool.map(_worker_get, [(0, 0)])))
+                except Exception:
+                    self.close()
+                    self._pool = ThreadPoolExecutor(
+                        max_workers=max(self.num_workers, 1))
+                    self.worker_type = "thread"
+            else:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=max(self.num_workers, 1))
+                self.worker_type = "thread"
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(nb):
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+        pool = self._get_pool()
+        epoch = self._epoch
+        self._epoch += 1
+        for b in range(nb):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.worker_type == "process":
+                # deterministic per-(loader seed, epoch, index) sample seed
+                tasks = [
+                    (int(i),
+                     (self.seed * 1000003 + epoch * 9176 + int(i)) % (2**31))
+                    for i in idxs
+                ]
+                samples = list(pool.map(_worker_get, tasks))
+            else:
                 samples = list(pool.map(self.dataset.__getitem__, idxs))
-                yield collate(samples)
+            yield collate(samples)
 
 
 class SSLBatcher:

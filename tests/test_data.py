@@ -36,6 +36,54 @@ def test_synthetic_contract():
     assert dmin.max() < 1e-4
 
 
+def test_process_worker_loader():
+    """Fork-based process workers: same batches as the thread pool for a
+    deterministic dataset, reproducible across fresh loaders (per-(epoch,
+    index) sample seeds), thread fallback for unpicklable datasets."""
+    ds = SyntheticDataset("scannet", num_scenes=6, num_points=128)
+    lp = DataLoader(ds, batch_size=2, num_workers=2, seed=3,
+                    worker_type="process")
+    lt = DataLoader(ds, batch_size=2, num_workers=2, seed=3,
+                    worker_type="thread")
+    bp, bt = list(iter(lp)), list(iter(lt))
+    assert lp.worker_type == "process"
+    assert len(bp) == len(bt) == 3
+    for a, b in zip(bp, bt):
+        for k in a:
+            # SyntheticDataset is RNG-free per index -> identical content
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # reproducibility: a fresh process loader yields the same epoch
+    lp2 = DataLoader(ds, batch_size=2, num_workers=2, seed=3,
+                     worker_type="process")
+    for a, b in zip(bp, list(iter(lp2))):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    lp.close(), lt.close(), lp2.close()
+
+    import threading
+
+    class Unpicklable:
+        def __init__(self):
+            self.lock = threading.Lock()  # defeats pickling for sure
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            with self.lock:
+                return {"x": np.full(3, i)}
+
+    # fork inherits the dataset without pickling it — even an unpicklable
+    # dataset works under process workers (the thread fallback only kicks
+    # in where fork itself is unavailable)
+    lu = DataLoader(Unpicklable(), batch_size=1, num_workers=2,
+                    worker_type="process", shuffle=False)
+    batches = list(iter(lu))
+    assert batches[0]["x"].tolist() == [[0, 0, 0]]
+    assert batches[1]["x"].tolist() == [[1, 1, 1]]
+    lu.close()
+
+
 def test_loader_and_ssl_batcher():
     labeled = SyntheticDataset("scannet", num_scenes=8, num_points=256, ssl=True)
     unlabeled = SyntheticDataset(
