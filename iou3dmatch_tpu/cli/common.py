@@ -203,6 +203,8 @@ def evaluate(model, cfg, state, eval_loader, config_dict, logger,
             out = iou_optimize(model, variables, out, opt_rate, opt_step)
         averager.update(metrics)
         out_np = jax.tree.map(np.asarray, out)
+        # host-side batch inputs the parse path may need (remove_empty_box)
+        out_np.setdefault("point_clouds", np.asarray(batch["point_clouds"]))
         pred_map_cls = parse_predictions(out_np, config_dict)
         gt_map_cls = parse_groundtruths(batch, config_dict)
         for calc in calculators.values():

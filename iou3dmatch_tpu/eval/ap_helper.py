@@ -67,6 +67,19 @@ def parse_predictions(ep, config_dict):
     bsize, k = corners.shape[:2]
     nonempty = np.ones((bsize, k))
 
+    if config_dict.get("remove_empty_box"):
+        # drop boxes holding < 5 scene points (ap_helper.py:119-135)
+        from ..data.sunrgbd_calib import extract_pc_in_box3d
+        from ..geometry.boxes import flip_axis_to_depth
+
+        batch_pc = _to_np(ep["point_clouds"])[:, :, 0:3]
+        for i in range(bsize):
+            for j in range(k):
+                box3d = flip_axis_to_depth(corners[i, j])
+                pc_in_box, _ = extract_pc_in_box3d(batch_pc[i], box3d)
+                if len(pc_in_box) < 5:
+                    nonempty[i, j] = 0
+
     obj_prob = softmax_np(_to_np(ep["objectness_scores"]))[:, :, 1]
 
     mins = corners.min(axis=2)  # (B, K, 3) camera-frame AABB

@@ -276,6 +276,50 @@ def _compare_map_cls(ours, theirs):
             np.testing.assert_allclose(so, st, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["nms2d", "nms3d", "remove_empty"])
+def test_parse_predictions_other_nms_modes_match_reference(mode):
+    """The non-default NMS paths: 2D BEV NMS (use_3d_nms=False), class-
+    agnostic 3D NMS (cls_nms=False), and empty-box removal
+    (ap_helper.py:118-175)."""
+    ref_ap = load("models.ap_helper")
+    ref_sc = load("scannet.model_util_scannet")
+    from iou3dmatch_tpu.data.config import ScannetConfig
+    from iou3dmatch_tpu.eval.ap_helper import parse_predictions
+
+    rng = np.random.RandomState(41)
+    ep = _rand_end_points(rng, None)
+    base = dict(remove_empty_box=(mode == "remove_empty"),
+                use_3d_nms=(mode != "nms2d"),
+                cls_nms=(mode == "remove_empty"),
+                nms_iou=0.25, use_old_type_nms=False, per_class_proposal=True,
+                conf_thresh=0.05, use_iou_for_nms=False)
+    theirs = ref_ap.parse_predictions(
+        _as_torch(ep), dict(base, dataset_config=ref_sc.ScannetDatasetConfig()))
+    ours = parse_predictions(ep, dict(base, dataset_config=ScannetConfig()))
+    _compare_map_cls(ours, theirs)
+
+
+def test_ap_calculator_matches_reference():
+    """APCalculator accumulate/compute (ap_helper.py:382-435): identical
+    per-class AP/recall/precision dicts and metric-name formatting."""
+    ref_ap = load("models.ap_helper")
+    from iou3dmatch_tpu.eval.ap_helper import APCalculator
+
+    rng = np.random.RandomState(43)
+    pred_all, gt_all = _synthetic_detections(rng)
+    class2type = {i: f"cls{i}" for i in range(3)}
+    ours = APCalculator(0.25, class2type)
+    theirs = ref_ap.APCalculator(0.25, class2type)
+    for img in pred_all:
+        ours.step([pred_all[img]], [gt_all[img]])
+        theirs.step([pred_all[img]], [gt_all[img]])
+    mo, mt = ours.compute_metrics(), theirs.compute_metrics()
+    assert set(mo) == set(mt), (sorted(mo), sorted(mt))
+    for k in mt:
+        np.testing.assert_allclose(mo[k], mt[k], rtol=1e-9, atol=1e-12,
+                                   err_msg=k)
+
+
 @pytest.mark.parametrize("use_iou", [False, True])
 def test_parse_predictions_matches_reference(use_iou):
     ref_ap = load("models.ap_helper")
