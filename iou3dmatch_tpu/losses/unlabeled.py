@@ -392,9 +392,24 @@ def get_unlabeled_loss(ep, ema_ep, batch, cfg, num_labeled, *,
     )
     if gt_labels is not None:
         # cheating objectness accuracy vs the real labels (view-stats,
-        # loss_helper_unlabeled.py:321-323)
-        *_, gt_stats = compute_objectness_gt(ep, gt_labels, nl)
+        # loss_helper_unlabeled.py:321-323). The reference transforms the
+        # GT labels into the STUDENT frame first (:575-589 runs before
+        # get_pseudo_detection_loss at :598); placeholder masking to -1000
+        # happens inside compute_objectness_gt on the transformed centers.
+        gt_student = dict(gt_labels)
+        gt_student["center_label"] = trans_center(
+            gt_labels["center_label"][..., 0:3], flip_x, flip_y, rot_mat,
+            scale)
+        *_, gt_stats = compute_objectness_gt(ep, gt_student, nl)
         m.update(gt_stats)
+        # the reference normalizes GT coverage by the FULL mixed-batch GT
+        # count — labeled rows included (loss_helper_unlabeled.py:498);
+        # the pseudo-label path computed it over unlabeled GTs only.
+        full_count = jnp.sum(batch["box_label_mask"]) + 1e-6
+        unl_count = jnp.sum(gt_labels["box_label_mask"]) + 1e-6
+        for key in ("final_coverage_0.25_value", "final_coverage_0.5_value"):
+            if key in m:
+                m[key] = m[key] * (unl_count / full_count)
     m["unlabeled_objectness_loss"] = obj_loss
     total_props = obj_label.size
     m["unlabeled_pos_ratio"] = jnp.sum(obj_label.astype(jnp.float32)) / total_props

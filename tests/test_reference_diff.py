@@ -476,14 +476,15 @@ def test_get_loss_matches_reference():
             err_msg=key)
 
 
-def test_get_unlabeled_loss_matches_reference():
+@pytest.mark.parametrize("view_stats", [False, True])
+def test_get_unlabeled_loss_matches_reference(view_stats):
     """The SSL pseudo-label pipeline end to end — teacher-output filtering
     (obj/cls/IoU thresholds), top-64 sort, host-NumPy LHS dedup vs our
     ON-DEVICE fixed-shape LHS, teacher→student frame transforms
     (trans_center/trans_size), and the pseudo-supervised losses — against
     the reference (loss_helper_unlabeled.py:292-600) on identical
-    student/teacher outputs. Thresholds are lowered so an untrained model
-    yields a non-trivial pseudo-label set."""
+    student/teacher outputs. view_stats=True additionally diffs the
+    pseudo-label-quality "cheating" diagnostics (:392-414, :494-523)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -512,12 +513,23 @@ def test_get_unlabeled_loss_matches_reference():
     ema_ep = {k: np.asarray(v) for k, v in ema_ep.items() if hasattr(v, "shape")}
 
     rots = np.stack([rotz(a) for a in rng.uniform(-0.1, 0.1, b)]).astype(np.float32)
+    n_gt = 64  # the view-stats coverage gather assumes MAX_NUM_OBJ slots
+               # (loss_helper_unlabeled.py:515-517)
     batch = {
         "flip_x_axis": rng.randint(0, 2, (b,)).astype(np.int64),
         "flip_y_axis": rng.randint(0, 2, (b,)).astype(np.int64),
         "rot_mat": rots,
         "rot_angle": rng.uniform(-0.1, 0.1, b).astype(np.float32),
         "scale": np.tile(rng.uniform(0.9, 1.1, (b, 1, 1)), (1, 1, 3)).astype(np.float32),
+        # full-batch labels (the view-stats path reads the unlabeled rows,
+        # as when the datasets are built with load_labels=True)
+        "center_label": rng.uniform(-2, 2, (b, n_gt, 3)).astype(np.float32),
+        "box_label_mask": (rng.random((b, n_gt)) > 0.3).astype(np.float32),
+        "sem_cls_label": rng.randint(0, cfg.num_class, (b, n_gt)),
+        "heading_class_label": np.zeros((b, n_gt), np.int64),
+        "heading_residual_label": np.zeros((b, n_gt), np.float32),
+        "size_class_label": rng.randint(0, cfg.num_size_cluster, (b, n_gt)),
+        "size_residual_label": (rng.randn(b, n_gt, 3) * 0.05).astype(np.float32),
     }
 
     # derive thresholds from the teacher's own output quantiles so an
@@ -542,15 +554,15 @@ def test_get_unlabeled_loss_matches_reference():
     ref_dc = ref_sc.ScannetDatasetConfig()
     cd = {"dataset_config": ref_dc, "unlabeled_batch_size": bu,
           "nms_iou": 0.25, "use_old_type_nms": False, "use_lhs": True,
-          "samecls_match": False, "view_stats": False, "dataset": "scannet",
-          **thresholds}
+          "samecls_match": False, "view_stats": view_stats,
+          "dataset": "scannet", **thresholds}
     ref_loss, ref_ep = ref_unl.get_unlabeled_loss(
         end_points, ema_end_points, ref_dc, cd)
 
     loss, m = get_unlabeled_loss(
         ep, ema_ep, batch, cfg, num_labeled=bl, nms_iou=0.25, use_lhs=True,
         samecls_match=False, dataset="scannet", ema_rows_are_unlabeled=False,
-        **thresholds)
+        view_stats=view_stats, **thresholds)
 
     # the pseudo-label PICK SETS must be identical before any loss math
     # (reference: host-NumPy corner loop + lhs_3d_faster_samecls; ours:
@@ -583,11 +595,19 @@ def test_get_unlabeled_loss_matches_reference():
 
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4,
                                err_msg="total unlabeled loss")
-    for key in ["unlabeled_objectness_loss", "unlabeled_center_loss",
+    keys = ["unlabeled_objectness_loss", "unlabeled_center_loss",
                 "unlabeled_heading_cls_loss", "unlabeled_heading_reg_loss",
                 "unlabeled_size_cls_loss", "unlabeled_size_reg_loss",
-                "unlabeled_sem_cls_loss", "unlabeled_box_loss",
-                "unlabeled_pos_ratio", "unlabeled_neg_ratio"]:
+            "unlabeled_sem_cls_loss", "unlabeled_box_loss",
+            "unlabeled_pos_ratio", "unlabeled_neg_ratio", "pseudo_gt_ratio",
+            "unlabeled_pred_iou_value", "unlabeled_pred_iou_obj_value",
+            "unlabeled_iou_acc", "unlabeled_iou_obj_acc"]
+    if view_stats:
+        keys += ["true_unlabeled_obj_acc", "final_iou_avg_value",
+                 "final_iou_avg_obj_value", "final_cls_value",
+                 "final_cls_obj_value", "final_coverage_0.25_value",
+                 "final_coverage_0.5_value"]
+    for key in keys:
         if key not in m or key not in ref_ep:
             continue
         np.testing.assert_allclose(
