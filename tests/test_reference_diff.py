@@ -719,6 +719,55 @@ def test_ssl_frame_transforms_match_reference():
                                atol=1e-5)
 
 
+def test_align_and_roi_helpers_match_reference():
+    """align_predictions_groundtruths + get_roi_ptcloud
+    (ap_helper.py:293-379): best-IoU GT alignment, fitness thresholding,
+    enlarged-box ROI cropping with the same RNG-backed resampling."""
+    import torch
+
+    ref_ap = load("models.ap_helper")
+    ref_box = load("utils.box_util")
+    from iou3dmatch_tpu.eval.ap_helper import (
+        align_predictions_groundtruths, get_roi_ptcloud)
+
+    rng = np.random.RandomState(29)
+    b, k, g = 2, 6, 4
+    pred = np.stack([np.stack([ref_box.get_3d_box(
+        rng.uniform(0.4, 1.5, 3), rng.uniform(-np.pi, np.pi),
+        rng.uniform(-1, 1, 3)) for _ in range(k)]) for _ in range(b)])
+    gt = np.stack([np.stack([ref_box.get_3d_box(
+        rng.uniform(0.4, 1.5, 3), rng.uniform(-np.pi, np.pi),
+        rng.uniform(-1, 1, 3)) for _ in range(g)]) for _ in range(b)])
+    mask = (rng.random((b, g)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1
+    sem = rng.randint(0, 5, (b, g))
+    ep_t = {"box_label_mask": torch.from_numpy(mask),
+            "sem_cls_label": torch.from_numpy(sem)}
+    r_al, r_conf, r_cls = ref_ap.align_predictions_groundtruths(
+        pred.astype(np.float32), gt.astype(np.float32), ep_t, iou_threshold=0.25)
+    ep_o = {"box_label_mask": mask, "sem_cls_label": sem}
+    o_al, o_conf, o_cls = align_predictions_groundtruths(
+        pred.astype(np.float32), gt.astype(np.float32), ep_o, iou_threshold=0.25)
+    np.testing.assert_allclose(o_al, r_al, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(o_conf, r_conf)
+    np.testing.assert_array_equal(o_cls, r_cls)
+
+    pc = rng.uniform(-3, 3, (b, 4096, 4)).astype(np.float32)
+    params = np.zeros((b, k, 7), np.float32)
+    params[..., 0:3] = rng.uniform(-2, 2, (b, k, 3))
+    params[..., 3:6] = rng.uniform(0.5, 2.0, (b, k, 3))
+    params[..., 6] = rng.uniform(-np.pi, np.pi, (b, k))
+    np.random.seed(7)
+    r_roi, r_mask = ref_ap.get_roi_ptcloud(
+        {"point_clouds": torch.from_numpy(pc)}, params,
+        num_point_roi=128, min_num_point=20)
+    np.random.seed(7)
+    o_roi, o_mask = get_roi_ptcloud(
+        {"point_clouds": pc}, params, num_point_roi=128, min_num_point=20)
+    np.testing.assert_array_equal(o_mask, r_mask)
+    np.testing.assert_allclose(o_roi, r_roi, rtol=1e-6, atol=1e-7)
+
+
 # --------------------------------------------- dataset __getitem__ bit parity
 def _write_fake_scannet(tmp_path, rng, n=4000):
     verts = np.zeros((n, 6), np.float32)
