@@ -361,9 +361,16 @@ def test_parse_predictions_matches_reference(use_iou):
 
 
 # ------------------------------------------------------------- loss functions
+_FWD_CACHE = {}
+
+
 def _tiny_forward_and_labels(b=2, n=1024, n_gt=6):
     """Run OUR tiny model once (deterministic eval BN) to get a
-    self-consistent end_points dict, plus random labels."""
+    self-consistent end_points dict, plus random labels. Cached — the jit
+    dominates this file's runtime and the callers only read the arrays."""
+    if (b, n, n_gt) in _FWD_CACHE:
+        ep, batch, cfg = _FWD_CACHE[(b, n, n_gt)]
+        return dict(ep), {k: v.copy() for k, v in batch.items()}, cfg
     import jax
     import jax.numpy as jnp
 
@@ -392,7 +399,8 @@ def _tiny_forward_and_labels(b=2, n=1024, n_gt=6):
         "vote_label": (rng.randn(b, n, 9) * 0.1).astype(np.float32),
         "vote_label_mask": rng.randint(0, 2, (b, n)).astype(np.int64),
     }
-    return ep, batch, cfg
+    _FWD_CACHE[(b, n, n_gt)] = (ep, batch, cfg)
+    return dict(ep), {k: v.copy() for k, v in batch.items()}, cfg
 
 
 def _torch_end_points(ep, batch):
