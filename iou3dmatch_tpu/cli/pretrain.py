@@ -25,7 +25,8 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--labeled_sample_list", default=None)
     p.add_argument("--num_point", type=int, default=40000)
-    p.add_argument("--num_target", type=int, default=128)
+    p.add_argument("--num_target", type=int, default=None,
+                   help="proposals [default: 128, or 16 with --tiny; explicit wins]")
     p.add_argument("--cluster_sampling", default="seed_fps",
                    choices=["vote_fps", "seed_fps", "random"])
     p.add_argument("--max_epoch", type=int, default=901)
@@ -98,13 +99,17 @@ def main(argv=None):
         print(f"Log folder {args.log_dir} already exists. "
               "Are you sure to overwrite? (Y/N)")
         c = input()
-        if c.lower() != "y":
+        if c in ("n", "N"):
             print("Exiting..")
             return
-        import shutil
+        elif c in ("y", "Y"):
+            print("Overwrite the files in the log and dump folders...")
+            import shutil
 
-        shutil.rmtree(args.log_dir, ignore_errors=True)
-        shutil.rmtree(dump_dir, ignore_errors=True)
+            shutil.rmtree(args.log_dir, ignore_errors=True)
+            shutil.rmtree(dump_dir, ignore_errors=True)
+        # any other answer: continue into the existing dir, like the
+        # reference (pretrain.py:97-105 only acts on y/Y and n/N)
 
     logger = Logger(args.log_dir)
     logger(str(args))
@@ -124,7 +129,10 @@ def main(argv=None):
         sampling=args.cluster_sampling, tiny=args.tiny,
         compute_dtype="bfloat16" if args.bf16 else None,
         vote_factor=args.vote_factor)
-    example = next(iter(DataLoader(train_ds, 1, shuffle=False, num_workers=1)))
+    # one-sample shape probe: a thread "pool" — no point forking a
+    # throwaway process pool for a single item
+    example = next(iter(DataLoader(train_ds, 1, shuffle=False,
+                                   num_workers=1, worker_type="thread")))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
                                weight_decay=args.weight_decay)
 

@@ -30,7 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--labeled_sample_list", default=None)
     p.add_argument("--num_point", type=int, default=40000)
-    p.add_argument("--num_target", type=int, default=128)
+    p.add_argument("--num_target", type=int, default=None,
+                   help="proposals [default: 128, or 16 with --tiny; explicit wins]")
     p.add_argument("--cluster_sampling", default="seed_fps")
     p.add_argument("--max_epoch", type=int, default=1001)
     p.add_argument("--batch_size", default="4,8",
@@ -138,7 +139,10 @@ def main(argv=None):
         sampling=args.cluster_sampling, tiny=args.tiny,
         compute_dtype="bfloat16" if args.bf16 else None,
         vote_factor=args.vote_factor)
-    example = next(iter(DataLoader(labeled_ds, 1, shuffle=False, num_workers=1)))
+    # one-sample shape probe: a thread "pool" — no point forking a
+    # throwaway process pool for a single item
+    example = next(iter(DataLoader(labeled_ds, 1, shuffle=False,
+                                   num_workers=1, worker_type="thread")))
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example,
                                with_ema=True, weight_decay=args.weight_decay)
 

@@ -62,6 +62,14 @@ class DataLoader:
         self.worker_type = worker_type
         self._pool = None
         self._epoch = 0
+        # Fork EAGERLY, at construction: the drivers build their loaders
+        # before the first device op, so the fork happens while the process
+        # is still (nearly) single-threaded. Forking lazily from inside
+        # __iter__ would run under the prefetch thread AFTER the TPU client
+        # and its gRPC/BLAS threads are live — the classic
+        # fork-after-threads deadlock setup.
+        if self.worker_type == "process" and self.num_workers > 0:
+            self._spawn_process_pool()
 
     def __len__(self):
         n = len(self.dataset)
@@ -69,24 +77,26 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _spawn_process_pool(self):
+        """Fork a persistent worker pool (startup ~100 ms/worker — amortized
+        across epochs). Falls back to threads when fork is unavailable."""
+        try:
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_init_worker, initargs=(self.dataset,))
+            # fail fast (no fork support, dead dataset path, ...)
+            next(iter(self._pool.map(_worker_get, [(0, 0)])))
+        except Exception:
+            self.close()
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(self.num_workers, 1))
+            self.worker_type = "thread"
+
     def _get_pool(self):
-        """Persistent worker pool (process startup is ~100 ms/worker —
-        amortize it across epochs). Falls back to threads when fork is
-        unavailable or the dataset won't pickle."""
         if self._pool is None:
             if self.worker_type == "process" and self.num_workers > 0:
-                try:
-                    ctx = multiprocessing.get_context("fork")
-                    self._pool = ProcessPoolExecutor(
-                        max_workers=self.num_workers, mp_context=ctx,
-                        initializer=_init_worker, initargs=(self.dataset,))
-                    # fail fast (unpicklable dataset, no fork, ...)
-                    next(iter(self._pool.map(_worker_get, [(0, 0)])))
-                except Exception:
-                    self.close()
-                    self._pool = ThreadPoolExecutor(
-                        max_workers=max(self.num_workers, 1))
-                    self.worker_type = "thread"
+                self._spawn_process_pool()
             else:
                 self._pool = ThreadPoolExecutor(
                     max_workers=max(self.num_workers, 1))
@@ -115,13 +125,27 @@ class DataLoader:
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             if self.worker_type == "process":
-                # deterministic per-(loader seed, epoch, index) sample seed
+                # deterministic, collision-resistant per-(loader seed,
+                # epoch, index) sample seed (SeedSequence hashes the tuple
+                # — a linear formula aliased across epochs once the dataset
+                # outgrew the epoch stride)
                 tasks = [
-                    (int(i),
-                     (self.seed * 1000003 + epoch * 9176 + int(i)) % (2**31))
+                    (int(i), int(np.random.SeedSequence(
+                        (self.seed, epoch, int(i))).generate_state(1)[0]))
                     for i in idxs
                 ]
-                samples = list(pool.map(_worker_get, tasks))
+                try:
+                    samples = list(pool.map(_worker_get, tasks))
+                except Exception:
+                    # a dead worker (e.g. OOM-killed) poisons the whole
+                    # executor; rebuild once, then let errors surface
+                    self.close()
+                    pool = self._get_pool()
+                    if self.worker_type == "process":
+                        samples = list(pool.map(_worker_get, tasks))
+                    else:
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, idxs))
             else:
                 samples = list(pool.map(self.dataset.__getitem__, idxs))
             yield collate(samples)

@@ -72,6 +72,12 @@ def parse_predictions(ep, config_dict):
         from ..data.sunrgbd_calib import extract_pc_in_box3d
         from ..geometry.boxes import flip_axis_to_depth
 
+        if "point_clouds" not in ep:
+            raise KeyError(
+                "parse_predictions(remove_empty_box=True) needs the scene "
+                "clouds: pass ep['point_clouds'] (B, N, C) alongside the "
+                "model outputs (the jitted eval forward does not return "
+                "inputs; see cli/common.py evaluate())")
         batch_pc = _to_np(ep["point_clouds"])[:, :, 0:3]
         for i in range(bsize):
             for j in range(k):

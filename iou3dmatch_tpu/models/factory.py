@@ -8,7 +8,7 @@ TINY_SA_NPOINTS = (128, 64, 32, 16)
 
 def build_votenet(
     dataset: str = "scannet",
-    num_proposal: int = 128,
+    num_proposal=None,  # None -> 128 (16 under tiny); explicit values win
     input_feature_dim: int = 1,  # height channel (default VoteNet input)
     sampling: str = "seed_fps",
     query_feats: str = "seed",
@@ -21,10 +21,10 @@ def build_votenet(
     cfg = get_config(dataset)
     mean_tuple = tuple(tuple(float(v) for v in row) for row in cfg.mean_size_arr)
     kwargs = {}
+    if num_proposal is None:
+        num_proposal = 16 if tiny else 128
     if tiny:
         kwargs = dict(sa_npoints=TINY_SA_NPOINTS)
-        if num_proposal == 128:  # shrink the default; explicit values win
-            num_proposal = 16
     model = VoteNet(
         num_class=cfg.num_class,
         num_heading_bin=cfg.num_heading_bin,

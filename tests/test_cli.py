@@ -7,7 +7,12 @@ from iou3dmatch_tpu.cli import train as cli_train
 def test_pretrain_defaults_match_reference():
     a = cli_pretrain.parse_args([])
     assert a.num_point == 40000          # pretrain.py --num_point
-    assert a.num_target == 128           # --num_target
+    # --num_target: None at the flag layer; the factory resolves it to the
+    # reference default 128 (16 under --tiny) so an EXPLICIT 128 survives tiny
+    assert a.num_target is None
+    from iou3dmatch_tpu.models.factory import build_votenet
+    assert build_votenet("scannet", num_proposal=a.num_target, tiny=False
+                         )[0].num_proposal == 128
     assert a.cluster_sampling == "seed_fps"
     assert a.max_epoch == 901            # --max_epoch
     assert a.batch_size == 8             # --batch_size

@@ -477,8 +477,8 @@ def test_get_loss_matches_reference():
                 "heading_cls_loss", "heading_reg_loss", "size_cls_loss",
                 "size_reg_loss", "sem_cls_loss", "box_loss", "pos_ratio",
                 "neg_ratio", "obj_acc"]:
-        if key not in m or key not in ref_ep:
-            continue
+        assert key in m, f"ours missing {key}"
+        assert key in ref_ep, f"reference missing {key}"
         np.testing.assert_allclose(
             float(m[key]), float(ref_ep[key]), rtol=2e-4, atol=1e-6,
             err_msg=key)
@@ -607,17 +607,19 @@ def test_get_unlabeled_loss_matches_reference(view_stats):
                 "unlabeled_heading_cls_loss", "unlabeled_heading_reg_loss",
                 "unlabeled_size_cls_loss", "unlabeled_size_reg_loss",
             "unlabeled_sem_cls_loss", "unlabeled_box_loss",
-            "unlabeled_pos_ratio", "unlabeled_neg_ratio", "pseudo_gt_ratio",
-            "unlabeled_pred_iou_value", "unlabeled_pred_iou_obj_value",
-            "unlabeled_iou_acc", "unlabeled_iou_obj_acc"]
+            "unlabeled_pos_ratio", "unlabeled_neg_ratio", "pseudo_gt_ratio"]
     if view_stats:
-        keys += ["true_unlabeled_obj_acc", "final_iou_avg_value",
+        # cheating diagnostics, emitted only under view_stats on BOTH sides
+        # (loss_helper_unlabeled.py:392-414, :494-523)
+        keys += ["unlabeled_pred_iou_value", "unlabeled_pred_iou_obj_value",
+                 "unlabeled_iou_acc", "unlabeled_iou_obj_acc",
+                 "true_unlabeled_obj_acc", "final_iou_avg_value",
                  "final_iou_avg_obj_value", "final_cls_value",
                  "final_cls_obj_value", "final_coverage_0.25_value",
                  "final_coverage_0.5_value"]
     for key in keys:
-        if key not in m or key not in ref_ep:
-            continue
+        assert key in m, f"ours missing {key}"
+        assert key in ref_ep, f"reference missing {key}"
         np.testing.assert_allclose(
             float(m[key]), float(ref_ep[key]), rtol=2e-4, atol=1e-6,
             err_msg=key)
