@@ -96,7 +96,9 @@ def compute_objectness_gt(ep, gt_labels, num_labeled):
     obj_acc = jnp.sum(
         (obj_pred == objectness_label).astype(jnp.float32) * objectness_mask
     ) / mask_sum
-    stats = {"true_unlabeled_obj_acc": obj_acc}
+    # the reference logs the same value under both names
+    # (loss_helper_unlabeled.py:132 and :355-359)
+    stats = {"true_unlabeled_obj_acc": obj_acc, "unlabeled_obj_acc": obj_acc}
     return objectness_loss, objectness_label, objectness_mask, ind1, stats
 
 

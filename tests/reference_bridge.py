@@ -40,6 +40,77 @@ def _stub(name, **attrs):
     return sys.modules[name]
 
 
+def install_pointnet2_shim():
+    """Back ``pointnet2._ext`` with OUR kernels (CPU JAX) so the reference's
+    FULL VoteNet can run forward on this image: channels-first torch tensors
+    in/out, exactly the CUDA extension's call surface
+    (pointnet2/pointnet2_utils.py:72-283). The ops themselves have
+    independent NumPy oracles (tests/oracles.py); running the reference
+    model through them isolates the MODEL math for differential testing."""
+    import numpy as np
+    import torch
+
+    existing = sys.modules.get("pointnet2._ext")
+    if existing is not None and getattr(existing, "_iou3dmatch_shim", False):
+        return existing
+
+    from iou3dmatch_tpu import ops
+
+    mod = types.ModuleType("pointnet2._ext")
+    mod._iou3dmatch_shim = True
+
+    def _np(t):
+        return np.ascontiguousarray(t.detach().cpu().numpy())
+
+    def furthest_point_sampling(xyz, npoint):
+        out = np.asarray(ops.furthest_point_sample(_np(xyz), int(npoint)))
+        return torch.from_numpy(out.astype(np.int32))
+
+    def gather_points(features, idx):
+        f = _np(features)  # (B, C, N)
+        i = _np(idx).astype(np.int64)
+        out = np.stack([f[b][:, i[b]] for b in range(f.shape[0])])
+        return torch.from_numpy(out)
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        out = np.asarray(ops.ball_query(
+            float(radius), int(nsample), _np(xyz), _np(new_xyz), exact=True))
+        return torch.from_numpy(out.astype(np.int32))
+
+    def group_points(features, idx):
+        f = _np(features)  # (B, C, N)
+        i = _np(idx).astype(np.int64)  # (B, np, ns)
+        out = np.stack([f[b][:, i[b]] for b in range(f.shape[0])])
+        return torch.from_numpy(out)  # (B, C, np, ns)
+
+    def three_nn(unknown, known):
+        # the CUDA _ext returns SQUARED distances; the Python wrapper takes
+        # the sqrt (pointnet2_utils.py:141-143). Our op returns the
+        # wrapper-level sqrt distances, so square them here.
+        d, i = ops.three_nn(_np(unknown), _np(known))
+        d = np.asarray(d).astype(np.float32)
+        return (torch.from_numpy(d * d),
+                torch.from_numpy(np.asarray(i).astype(np.int32)))
+
+    def three_interpolate(features, idx, weight):
+        f = _np(features).transpose(0, 2, 1)  # -> (B, m, C)
+        out = np.asarray(ops.three_interpolate(
+            f, _np(idx).astype(np.int32), _np(weight)))
+        return torch.from_numpy(np.ascontiguousarray(out.transpose(0, 2, 1)))
+
+    for fn in (furthest_point_sampling, gather_points, ball_query,
+               group_points, three_nn, three_interpolate):
+        setattr(mod, fn.__name__, fn)
+
+    sys.modules["pointnet2._ext"] = mod
+    # rebind inside an already-imported pointnet2_utils (the
+    # __POINTNET2_SETUP__ escape leaves the name unbound there)
+    pu = sys.modules.get("pointnet2.pointnet2_utils")
+    if pu is not None:
+        pu._ext = mod
+    return mod
+
+
 def load(module_name):
     """Import a reference module (e.g. 'utils.nn_distance') with stubs in
     place. Returns the module object, cached across calls."""

@@ -613,7 +613,8 @@ def test_get_unlabeled_loss_matches_reference(view_stats):
         # (loss_helper_unlabeled.py:392-414, :494-523)
         keys += ["unlabeled_pred_iou_value", "unlabeled_pred_iou_obj_value",
                  "unlabeled_iou_acc", "unlabeled_iou_obj_acc",
-                 "true_unlabeled_obj_acc", "final_iou_avg_value",
+                 "true_unlabeled_obj_acc", "unlabeled_obj_acc",
+                 "final_iou_avg_value",
                  "final_iou_avg_obj_value", "final_cls_value",
                  "final_cls_obj_value", "final_coverage_0.25_value",
                  "final_coverage_0.5_value"]
