@@ -83,7 +83,8 @@ def _transplant(variables, ref_net):
     return written
 
 
-def test_full_votenet_forward_matches_reference():
+@pytest.mark.parametrize("sampling", ["seed_fps", "vote_fps"])
+def test_full_votenet_forward_matches_reference(sampling):
     import jax
     import jax.numpy as jnp
     import torch
@@ -97,11 +98,11 @@ def test_full_votenet_forward_matches_reference():
     ref_net = ref_v.VoteNet(
         num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
-        input_feature_dim=1, num_proposal=128, sampling="seed_fps",
+        input_feature_dim=1, num_proposal=128, sampling=sampling,
         dataset_config=dc)
     ref_net.eval()
 
-    model, _ = build_votenet("scannet")
+    model, _ = build_votenet("scannet", sampling=sampling)
     rng = np.random.RandomState(3)
     pc = np.zeros((1, 4096, 4), np.float32)
     pc[..., 0:3] = rng.uniform(-3.0, 3.0, (1, 4096, 3))
@@ -163,3 +164,28 @@ def test_full_votenet_forward_matches_reference():
     np.testing.assert_array_equal(
         np.argmax(np.asarray(ep["size_scores"]), -1),
         torch.argmax(ref_ep["size_scores"], -1).numpy())
+
+    if sampling != "seed_fps":
+        return
+    # test-time IoU-optimization path: re-run ONLY the GridConv branch on
+    # perturbed boxes (forward_onlyiou_faster, votenet_iou_branch.py:183-185)
+    rng2 = np.random.RandomState(11)
+    center = np.asarray(ep["center"], np.float32) + \
+        rng2.randn(1, 128, 3).astype(np.float32) * 0.05
+    size = np.abs(np.asarray(ep["size"], np.float32) *
+                  (1.0 + rng2.randn(1, 128, 3).astype(np.float32) * 0.1)) + 1e-6
+    heading = np.asarray(ep["heading"], np.float32)
+    with torch.no_grad():
+        ref_iou_ep = ref_net.forward_onlyiou_faster(
+            dict(ref_ep), torch.from_numpy(center), torch.from_numpy(size),
+            torch.from_numpy(heading))
+    our_iou_ep = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {k: jnp.asarray(v) for k, v in ep.items() if k in
+         ("seed_xyz", "seed_features", "vote_xyz", "vote_features")},
+        jnp.asarray(center), jnp.asarray(size), jnp.asarray(heading),
+        train=False, method=model.forward_onlyiou)
+    np.testing.assert_allclose(
+        np.asarray(our_iou_ep["iou_scores"], np.float32),
+        ref_iou_ep["iou_scores"].numpy(), rtol=5e-3, atol=5e-4,
+        err_msg="forward_onlyiou iou_scores")
