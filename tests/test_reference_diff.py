@@ -364,19 +364,20 @@ def test_parse_predictions_matches_reference(use_iou):
 _FWD_CACHE = {}
 
 
-def _tiny_forward_and_labels(b=2, n=1024, n_gt=6):
+def _tiny_forward_and_labels(b=2, n=1024, n_gt=6, dataset="scannet"):
     """Run OUR tiny model once (deterministic eval BN) to get a
     self-consistent end_points dict, plus random labels. Cached — the jit
     dominates this file's runtime and the callers only read the arrays."""
-    if (b, n, n_gt) in _FWD_CACHE:
-        ep, batch, cfg = _FWD_CACHE[(b, n, n_gt)]
+    key = (b, n, n_gt, dataset)
+    if key in _FWD_CACHE:
+        ep, batch, cfg = _FWD_CACHE[key]
         return dict(ep), {k: v.copy() for k, v in batch.items()}, cfg
     import jax
     import jax.numpy as jnp
 
     from iou3dmatch_tpu.models.factory import build_votenet
 
-    model, cfg = build_votenet("scannet", tiny=True)
+    model, cfg = build_votenet(dataset, tiny=True)
     rng = np.random.RandomState(13)
     pc = (rng.randn(b, n, 4) * 1.5).astype(np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(pc),
@@ -391,15 +392,19 @@ def _tiny_forward_and_labels(b=2, n=1024, n_gt=6):
         "point_clouds": pc,
         "center_label": rng.uniform(-2, 2, (b, n_gt, 3)).astype(np.float32),
         "box_label_mask": mask,
-        "heading_class_label": np.zeros((b, n_gt), np.int64),
-        "heading_residual_label": np.zeros((b, n_gt), np.float32),
+        # non-trivial heading labels where the config has bins (SUN RGB-D)
+        "heading_class_label": rng.randint(
+            0, cfg.num_heading_bin, (b, n_gt)).astype(np.int64),
+        "heading_residual_label": (
+            rng.uniform(-0.5, 0.5, (b, n_gt))
+            * np.pi / cfg.num_heading_bin).astype(np.float32),
         "size_class_label": rng.randint(0, cfg.num_size_cluster, (b, n_gt)),
         "size_residual_label": (rng.randn(b, n_gt, 3) * 0.05).astype(np.float32),
         "sem_cls_label": rng.randint(0, cfg.num_class, (b, n_gt)),
         "vote_label": (rng.randn(b, n, 9) * 0.1).astype(np.float32),
         "vote_label_mask": rng.randint(0, 2, (b, n)).astype(np.int64),
     }
-    _FWD_CACHE[(b, n, n_gt)] = (ep, batch, cfg)
+    _FWD_CACHE[key] = (ep, batch, cfg)
     return dict(ep), {k: v.copy() for k, v in batch.items()}, cfg
 
 
@@ -415,23 +420,31 @@ def _torch_end_points(ep, batch):
     return out
 
 
-def test_get_labeled_loss_matches_reference():
+def _ref_config(dataset):
+    if dataset == "scannet":
+        return load("scannet.model_util_scannet").ScannetDatasetConfig()
+    return load("sunrgbd.model_util_sunrgbd").SunrgbdDatasetConfig()
+
+
+@pytest.mark.parametrize("dataset", ["scannet", "sunrgbd"])
+def test_get_labeled_loss_matches_reference(dataset):
     """The full stage-1 training loss — vote/objectness/center/heading/size/
     sem-cls terms, IoU-branch loss with assignment-gathered class, jitter IoU
     loss, the 10x total — against the reference's own loss code
-    (loss_helper_labeled.py:300-370) on identical model outputs."""
+    (loss_helper_labeled.py:300-370) on identical model outputs. The
+    sunrgbd variant exercises the 12-bin heading CE + normalized-residual
+    huber machinery that ScanNet's single bin leaves at zero."""
     import torch
 
     ref_lab = load("models.loss_helper_labeled")
-    ref_sc = load("scannet.model_util_scannet")
     from iou3dmatch_tpu.losses import get_labeled_loss
 
-    ep, batch, cfg = _tiny_forward_and_labels()
+    ep, batch, cfg = _tiny_forward_and_labels(dataset=dataset)
     b = batch["center_label"].shape[0]
 
     end_points = _torch_end_points(ep, batch)
     end_points["supervised_mask"] = torch.ones(b).long()
-    ref_dc = ref_sc.ScannetDatasetConfig()
+    ref_dc = _ref_config(dataset)
     ref_loss, ref_ep = ref_lab.get_labeled_loss(
         end_points, ref_dc, {"dataset_config": ref_dc})
 
@@ -451,19 +464,19 @@ def test_get_labeled_loss_matches_reference():
             err_msg=key)
 
 
-def test_get_loss_matches_reference():
+@pytest.mark.parametrize("dataset", ["scannet", "sunrgbd"])
+def test_get_loss_matches_reference(dataset):
     """Eval-path loss (loss_helper.py:222-291) against the reference."""
     import torch
 
     ref_sup = load("models.loss_helper")
-    ref_sc = load("scannet.model_util_scannet")
     from iou3dmatch_tpu.losses import get_loss
 
-    ep, batch, cfg = _tiny_forward_and_labels()
+    ep, batch, cfg = _tiny_forward_and_labels(dataset=dataset)
     b = batch["center_label"].shape[0]
 
     end_points = _torch_end_points(ep, batch)
-    ref_dc = ref_sc.ScannetDatasetConfig()
+    ref_dc = _ref_config(dataset)
     # the reference eval path computes the IoU loss inside
     # compute_box_and_sem_cls_loss via compute_iou_labels
     ref_loss, ref_ep = ref_sup.get_loss(
@@ -626,19 +639,19 @@ def test_get_unlabeled_loss_matches_reference(view_stats):
             err_msg=key)
 
 
-def test_decode_and_bbox_calc_match_reference():
+@pytest.mark.parametrize("dataset", ["scannet", "sunrgbd"])
+def test_decode_and_bbox_calc_match_reference(dataset):
     """Proposal head decode (softplus−1 size residuals, π/NH heading
     normalization; proposal_module.py:24-54) and the argmax box decode with
     HALF sizes (votenet_iou_branch.py:111-137), against the reference on the
-    same raw head output."""
+    same raw head output. sunrgbd exercises the 12-bin heading decode."""
     import torch
 
     ref_prop = load("models.proposal_module")
     ref_vote = load("models.votenet_iou_branch")
-    ref_sc = load("scannet.model_util_scannet")
     from iou3dmatch_tpu.models.factory import build_votenet
 
-    model, cfg = build_votenet("scannet", tiny=True)
+    model, cfg = build_votenet(dataset, tiny=True)
     nh, ns, nc = cfg.num_heading_bin, cfg.num_size_cluster, cfg.num_class
     rng = np.random.RandomState(17)
     b, k = 2, 16
@@ -646,7 +659,7 @@ def test_decode_and_bbox_calc_match_reference():
     net = rng.randn(b, k, out_dim).astype(np.float32)
     agg_xyz = rng.uniform(-2, 2, (b, k, 3)).astype(np.float32)
 
-    ref_dc = ref_sc.ScannetDatasetConfig()
+    ref_dc = _ref_config(dataset)
     ref_ep = {"aggregated_vote_xyz": torch.from_numpy(agg_xyz)}
     ref_ep = ref_prop.decode_scores(
         torch.from_numpy(net).transpose(2, 1), ref_ep, nc, nh, ns,
