@@ -103,11 +103,14 @@ def install_pointnet2_shim():
         setattr(mod, fn.__name__, fn)
 
     sys.modules["pointnet2._ext"] = mod
-    # rebind inside an already-imported pointnet2_utils (the
-    # __POINTNET2_SETUP__ escape leaves the name unbound there)
-    pu = sys.modules.get("pointnet2.pointnet2_utils")
-    if pu is not None:
-        pu._ext = mod
+    # rebind inside already-imported pointnet2_utils copies (the
+    # __POINTNET2_SETUP__ escape leaves the name unbound there). The
+    # reference's sys.path.append tricks make the module importable under
+    # TWO keys with SEPARATE module objects — patch both.
+    for key in ("pointnet2.pointnet2_utils", "pointnet2_utils"):
+        pu = sys.modules.get(key)
+        if pu is not None:
+            pu._ext = mod
     return mod
 
 
