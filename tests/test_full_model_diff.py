@@ -77,7 +77,7 @@ def _transplant(variables, ref_net):
             val = val.T  # (in, out) -> (out, in)
             val = val.reshape(tuple(tgt.shape))  # (out, in, 1[, 1])
         assert tuple(tgt.shape) == val.shape, (key, tgt.shape, val.shape)
-        sd[key] = torch.from_numpy(np.ascontiguousarray(val))
+        sd[key] = torch.from_numpy(np.array(val))  # copy: jax arrays are read-only
         written.add(key)
     ref_net.load_state_dict(sd)
     return written
