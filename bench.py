@@ -56,8 +56,31 @@ def make_batch(rng, cfg, bl, bu, n_points, n_gt=16):
     return batch
 
 
+def _watchdog(minutes):
+    """If the tunneled TPU is unreachable (jax device ops hang instead of
+    erroring), still emit ONE honest JSON line and exit instead of hanging
+    the harness forever. Normal runs finish well inside the window."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "ssl_step_scenes_per_sec[tpu-unreachable]",
+            "value": 0.0,
+            "unit": "scenes/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+
+    watchdog = _watchdog(float(os.environ.get("BENCH_WATCHDOG_MIN", 25)))
 
     # sitecustomize in this image bakes JAX_PLATFORMS=axon in at interpreter
     # start, so a JAX_PLATFORMS=cpu env var alone is ignored; honor an
@@ -118,6 +141,7 @@ def main():
     sync(state)
     dt = time.perf_counter() - t0
 
+    watchdog.cancel()
     scenes_per_sec = (bl + bu) * n_steps / dt
     dtype_tag = ",bf16" if compute_dtype else ""
     print(json.dumps({
