@@ -44,20 +44,30 @@ def ball_query(
 
     Returns int32 (B, m, nsample) with reference first-found semantics:
     slots past the neighbor count repeat the first neighbor; centers with no
-    neighbor keep index 0 (ball_query_gpu.cu:39-45).
+    neighbor keep index 0 (ball_query_gpu.cu:39-45). One caveat even on the
+    exact path: d2 comes from the |c|^2+|p|^2-2c.p matmul identity (MXU
+    HIGHEST), whose last-ulp rounding can differ from CUDA's direct
+    (c-p)^2 sum — a point mathematically ON the radius boundary may
+    classify differently. Verified sets are identical on the oracle suite;
+    the divergence regime is measure-zero boundary ties.
 
     ``exact=False`` uses ``lax.approx_min_k`` (TPU-native partial reduction,
-    ~6x faster at SA1 scale). Every returned index is still a true in-radius
-    neighbor; the selected subset can differ from the reference's ONLY for
-    centers with more than ``nsample`` in-radius points — where the
-    reference's own choice is scan-order-arbitrary. Use for training; keep
-    ``exact=True`` for parity tests.
+    ~6x faster at SA1 scale). Best-effort contract: returned indices are
+    in-radius neighbors (up to HIGH-precision d2 rounding at the boundary
+    for n > 16384) and typically the nsample smallest; the partial
+    reduction may drop a true neighbor (recall_target < 1) even for
+    centers with <= nsample in-radius points, refilling the slot with the
+    first found. Measured recall 0.9996 at SA1 train shapes. Use for
+    training; keep ``exact=True`` for parity tests.
     """
     if not exact:
         return _ball_query_approx(radius, nsample, xyz, new_xyz, chunk)
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    r2 = jnp.float32(radius * radius)
+    # f32(radius) * f32(radius), like the CUDA kernel — f32(radius*radius
+    # in double) is 1 ulp off for e.g. radius=0.2 and can flip boundary
+    # points under the strict d2 < r2 test
+    r2 = jnp.float32(radius) * jnp.float32(radius)
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
 
@@ -106,8 +116,8 @@ def ball_query(
     bases = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
     best, _ = jax.lax.scan(scan_body, best0, (xyz_chunks, bases))
 
-    # top_k(-x) returns ascending indices; fill overflow slots with the
-    # first found index, empty centers with 0.
+    # `best` is ascending (INT_INF-padded) from the chunked sort-merge;
+    # fill overflow slots with the first found index, empty centers with 0.
     found = best < _INT_INF
     first = jnp.where(found[:, :, :1], best[:, :, :1], 0)
     return jnp.where(found, best, first)
@@ -125,7 +135,7 @@ def _ball_query_approx(radius, nsample, xyz, new_xyz, chunk):
     """
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    r2 = jnp.float32(radius * radius)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
     # Per-scene mean-centering shrinks |q_c||q_p|, the scale of the MXU
@@ -189,7 +199,7 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
     TPU forward: a plain row gather. Row cost grows ~11 ns/KB past a ~5 ns
     floor, so the one lever that pays is fewer/narrower rows (models/
     pointnet2.py packs xyz+features into ONE table, bf16 with bitcast-f32
-    xyz payload in fast mode). A P-points-per-row packing with an idx%%P
+    xyz payload in fast mode). A P-points-per-row packing with an idx%P
     select epilogue was tried and ultimately LOST to the plain gather at
     SA1 train shapes once the epilogue cost was accounted honestly
     (bench 102 -> 107.5 scenes/s after removal) — narrow 16 B rows gather
@@ -205,6 +215,10 @@ def group_points(features: jax.Array, idx: jax.Array) -> jax.Array:
 
     b, n, c = features.shape
     m, ns = idx.shape[1], idx.shape[2]
+    # one index contract on every path: clamp to [0, n-1] (XLA would wrap
+    # negatives, the Pallas kernel clamps; the clamp also matches the
+    # one-hot VJP's data flow)
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
     if jax.default_backend() == "tpu" and gather_rows_vmem_supported(
         n, m * ns, c, features.dtype
     ):
@@ -222,7 +236,9 @@ def _group_bwd(res, g):
 
     idx, n = res
     b, m, ns, c = g.shape
-    flat_idx = idx.reshape(b, m * ns).astype(jnp.int32)
+    # match the forward's clamp so OOB cotangents land on the row the
+    # forward actually read (an unclamped one-hot would silently drop them)
+    flat_idx = jnp.clip(idx.reshape(b, m * ns).astype(jnp.int32), 0, n - 1)
     flat_g = g.reshape(b, m * ns, c)
     return batched_onehot_segment_sum(flat_idx, flat_g, n), None
 

@@ -121,6 +121,10 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
     # 4.6 -> 4.0 at 12x2k). VMEM is 128 MB on v5e (the 16 MB "scoped"
     # default is raised below), so the working set
     # (~(3+4+1)*4*N bytes/scene) caps group only at very large B*N.
+    # SMEM holds the (group, 1, npoint) int32 index output (+ pipeline
+    # double-buffer); cap the interleave so it stays under the ~1 MB
+    # scalar-memory budget as well as VMEM.
+    smem_cap = max(1, (512 << 10) // (npoint * 4 * 2))
     if not group:
         if interpret:
             group = 1
@@ -130,7 +134,7 @@ def furthest_point_sample_pallas(xyz: jax.Array, npoint: int,
             group = b
         else:
             group = max(1, min(b, (_VMEM_BUDGET // 2) // (n_pad * 32)))
-    group = min(group, b)
+    group = min(group, b, smem_cap)
     b_pad = -(-b // group) * group
     xyz = xyz.astype(jnp.float32)
     if b_pad != b or n_pad != n:

@@ -58,6 +58,8 @@ def gather_rows_vmem_supported(n, q, c, dtype) -> bool:
     """
     if jnp.dtype(dtype) != jnp.float32 or c > 256:
         return False
+    if q <= 0 or n <= 0:  # empty gathers stay on the XLA path
+        return False
     c_pad = -(-c // 128) * 128  # physical lane padding
     qc = min(q, _QC)
     vmem = 2 * n * c_pad * 4 + 2 * qc * c_pad * 4

@@ -117,6 +117,8 @@ def three_interpolate(
     segment-sum (ops/scatter.py) instead of TPU scatter-add.
     """
 
+    idx = jnp.clip(idx.astype(jnp.int32), 0, features.shape[1] - 1)
+
     def per_scene(f, i, w):
         g = f[i]  # (n, 3, C)
         return jnp.sum(g * w[:, :, None], axis=1)
@@ -137,7 +139,8 @@ def _interp_bwd(res, g):
     b, n, c = g.shape
     # updates for slot (n, k): g[n] * weight[n, k]
     upd = (g[:, :, None, :] * weight[..., None]).reshape(b, n * 3, c)
-    flat_idx = idx.reshape(b, n * 3).astype(jnp.int32)
+    flat_idx = jnp.clip(  # match the forward's clamp
+        idx.reshape(b, n * 3).astype(jnp.int32), 0, m - 1)
     grad_features = batched_onehot_segment_sum(flat_idx, upd, m)
     return grad_features, None, None
 

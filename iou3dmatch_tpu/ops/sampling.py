@@ -19,7 +19,12 @@ from .scatter import batched_onehot_segment_sum
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def gather_points(features: jax.Array, idx: jax.Array) -> jax.Array:
-    """features: (B, N, C) channels-last, idx: (B, m) int -> (B, m, C)."""
+    """features: (B, N, C) channels-last, idx: (B, m) int -> (B, m, C).
+
+    Out-of-range indices are CLAMPED to [0, N-1] — one contract on every
+    path (XLA would wrap negatives, the Pallas kernel clamps; the clamp
+    also keeps the one-hot VJP consistent with the forward's data flow)."""
+    idx = jnp.clip(idx.astype(jnp.int32), 0, features.shape[1] - 1)
     return jax.vmap(lambda f, i: f[i])(features, idx)
 
 
@@ -29,7 +34,8 @@ def _gather_fwd(features, idx):
 
 def _gather_bwd(res, g):
     idx, n = res
-    grad_features = batched_onehot_segment_sum(idx.astype(jnp.int32), g, n)
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)  # match the forward
+    grad_features = batched_onehot_segment_sum(idx, g, n)
     return grad_features, None
 
 

@@ -64,4 +64,5 @@ def batched_onehot_segment_sum(
 
 def onehot_segment_sum(idx: jax.Array, updates: jax.Array, n: int) -> jax.Array:
     """idx: (U,) int in [0, n); updates: (U, C) -> (n, C) summed by index."""
-    return batched_onehot_segment_sum(idx[None], updates[None], n)[0]
+    return batched_onehot_segment_sum(
+        idx[None].astype(jnp.int32), updates[None], n)[0]

@@ -301,3 +301,54 @@ def test_fps_prefix_property():
     np.testing.assert_array_equal(
         np.asarray(furthest_point_sample(x3, 128)),
         np.tile(np.arange(128, dtype=np.int32), (2, 1)))
+
+
+def test_gather_ops_clamp_oob_and_grad_consistency():
+    """One index contract on every path: out-of-range indices CLAMP to
+    [0, n-1] (the Pallas kernel clamps; XLA would wrap negatives), and the
+    one-hot VJPs route cotangents to the row the forward actually read."""
+    import jax
+    import jax.numpy as jnp
+
+    from iou3dmatch_tpu.ops import gather_points, group_points, three_interpolate
+
+    n, c = 5, 3
+    f = jnp.arange(n * c, dtype=jnp.float32).reshape(1, n, c)
+
+    idx = jnp.array([[-1, 0, n, 2]], jnp.int32)
+    out = gather_points(f, idx)
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(f[0, 0]))
+    np.testing.assert_array_equal(np.asarray(out[0, 2]), np.asarray(f[0, n - 1]))
+
+    g = jax.grad(lambda ff: gather_points(ff, idx).sum())(f)
+    # row 0 read twice (clamped -1 and literal 0), row n-1 once (clamped n)
+    assert float(g[0, 0, 0]) == 2.0 and float(g[0, n - 1, 0]) == 1.0
+
+    gidx = jnp.array([[[-1, 1], [n, 2]]], jnp.int32)
+    gout = group_points(f, gidx)
+    np.testing.assert_array_equal(np.asarray(gout[0, 0, 0]), np.asarray(f[0, 0]))
+    np.testing.assert_array_equal(np.asarray(gout[0, 1, 0]), np.asarray(f[0, n - 1]))
+    gg = jax.grad(lambda ff: group_points(ff, gidx).sum())(f)
+    assert float(gg[0, 0, 0]) == 1.0 and float(gg[0, n - 1, 0]) == 1.0
+
+    w = jnp.full((1, 2, 3), 1.0 / 3.0, jnp.float32)
+    tidx = jnp.array([[[-1, 0, 1], [n, 1, 2]]], jnp.int32)
+    tout = three_interpolate(f, tidx, w)
+    expect0 = (f[0, 0] + f[0, 0] + f[0, 1]) / 3.0
+    np.testing.assert_allclose(np.asarray(tout[0, 0]), np.asarray(expect0),
+                               rtol=1e-6)
+    tg = jax.grad(lambda ff: three_interpolate(ff, tidx, w).sum())(f)
+    np.testing.assert_allclose(float(tg[0, n - 1, 0]), 1.0 / 3.0, rtol=1e-6)
+
+
+def test_onehot_segment_sum_single_scene():
+    from iou3dmatch_tpu.ops.scatter import (
+        batched_onehot_segment_sum, onehot_segment_sum)
+
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 7, 12).astype(np.int64)  # int64 in, cast inside
+    upd = rng.randn(12, 4).astype(np.float32)
+    single = np.asarray(onehot_segment_sum(idx, upd, 7))
+    batched = np.asarray(batched_onehot_segment_sum(
+        idx[None].astype(np.int32), upd[None], 7))[0]
+    np.testing.assert_allclose(single, batched, rtol=1e-6)
