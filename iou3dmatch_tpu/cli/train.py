@@ -35,7 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--cluster_sampling", default="seed_fps")
     p.add_argument("--max_epoch", type=int, default=1001)
     p.add_argument("--batch_size", default="4,8",
-                   help="labeled,unlabeled scenes per step (train.py:47-48)")
+                   help="labeled,unlabeled scenes PER DEVICE per step "
+                        "(train.py:47-48). Global batch = per-device x "
+                        "n_devices, so the paper config 4,8 runs unchanged "
+                        "on any device count; each count must only be "
+                        "divisible by itself, never by the mesh size")
     p.add_argument("--learning_rate", type=float, default=2e-3)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--lr_decay_steps", default="400,600,800,900")
@@ -119,7 +123,15 @@ def main(argv=None):
 
     logger = Logger(args.log_dir)
     logger(str(args))
-    bl, bu = [int(x) for x in args.batch_size.split(",")]
+    # --batch_size is per-device: the paper config "4,8" (train.py:47-48)
+    # scales to a global batch of 4n+8n on an n-device mesh, keeping the
+    # labeled:unlabeled ratio and per-device shapes identical at any scale.
+    bl_dev, bu_dev = [int(x) for x in args.batch_size.split(",")]
+    n_dev = jax.device_count()
+    bl, bu = bl_dev * n_dev, bu_dev * n_dev
+    if n_dev > 1:
+        logger(f"data-parallel over {n_dev} devices: per-device batch "
+               f"{bl_dev}+{bu_dev}, global {bl}+{bu}")
     lr_steps = [int(x) for x in args.lr_decay_steps.split(",")]
     lr_rates = [float(x) for x in args.lr_decay_rates.split(",")]
 
@@ -157,6 +169,14 @@ def main(argv=None):
         state = checkpoint.load_pretrain_into_ssl(args.detector_checkpoint, state)
         logger(f"loaded pretrain weights from {args.detector_checkpoint}")
 
+    mesh = None
+    if n_dev > 1:
+        from ..parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        state = replicate(state, mesh)  # params/EMA/opt replicated; batch
+        # is sharded per step below; GSPMD inserts the gradient psum.
+
     step_fn = make_ssl_step(
         model, cfg, num_labeled=bl, unlabeled_weight=args.unlabeled_loss_weight,
         ema_decay=args.ema_decay, obj_threshold=args.obj_threshold,
@@ -190,6 +210,8 @@ def main(argv=None):
             if args.profile_steps and epoch == start_epoch and bi == 1:
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch, step_rng, lr, bn_mom)
             metrics = fetch_metrics(metrics)  # one transfer for all scalars
             loss_val = metrics["loss"]

@@ -15,7 +15,26 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Shard every array in the batch dict along axis 0."""
+    """Shard every array in the batch dict along axis 0.
+
+    Every leading dimension must be divisible by the mesh size. Batch sizes
+    are PER-DEVICE in the CLI drivers (global = per_device x n_devices), so
+    loader-built batches always satisfy this; a hand-built batch that does
+    not gets a clear error here instead of a GSPMD one.
+    """
+    n = mesh.devices.size
+    bad = {
+        k: v.shape
+        for k, v in batch.items()
+        if hasattr(v, "shape") and v.ndim > 0 and v.shape[0] % n != 0
+    }
+    if bad:
+        raise ValueError(
+            f"shard_batch: leading dims not divisible by the {n}-device mesh: "
+            f"{bad}. Batch sizes are per-device (global = per_device * "
+            f"n_devices); the paper config --batch_size 4,8 on {n} devices "
+            f"means a global batch of {4 * n}+{8 * n} scenes."
+        )
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
