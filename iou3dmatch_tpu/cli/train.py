@@ -73,7 +73,7 @@ def parse_args(argv=None):
     p.add_argument("--eval_use_ema", action="store_true",
                    help="evaluate the EMA teacher instead of the student")
     p.add_argument("--opt_step", type=int, default=0)
-    p.add_argument("--opt_rate", type=float, default=0.01)
+    p.add_argument("--opt_rate", type=float, default=5e-4)  # train.py:69
     p.add_argument("--dump_results", action="store_true")
     p.add_argument("--reference_exact_step", action="store_true",
                    help="reference-exact SSL step: teacher on the full mixed "

@@ -49,10 +49,17 @@ def voc_ap(rec, prec, use_07_metric=False):
     return np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1])
 
 
-def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_iou_obb):
+def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_iou_obb,
+                 reference_npos_division=False):
     """Single-class PR (eval_det.py:83-166).
 
     pred: {img_id: [(bbox, score)]}; gt: {img_id: [bbox]}.
+
+    ``reference_npos_division=True`` reproduces the reference's npos==0
+    behavior bit-exactly (0/0 recall -> nan AP, eval_det.py:135) for
+    side-by-side comparisons; the default guards it to rec=0 so tiny eval
+    subsets do not poison the mAP mean. Identical whenever npos > 0 (every
+    class present in GT — always true on the full val sets).
     """
     class_recs = {}
     npos = 0
@@ -107,15 +114,19 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, get_iou_func=get_
     # npos == 0 (class predicted but absent from GT) divides 0/0 in the
     # reference (eval_det.py:135); guard to rec=0 so small eval subsets do
     # not poison the mAP mean. Identical on full val sets where npos > 0.
-    rec = tp / float(npos) if npos > 0 else np.zeros_like(tp)
+    if npos > 0 or reference_npos_division:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rec = tp / float(npos)
+    else:
+        rec = np.zeros_like(tp)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     ap = voc_ap(rec, prec, use_07_metric)
     return rec, prec, ap
 
 
 def _eval_cls_wrapper(args):
-    pred, gt, ovthresh, use_07, get_iou_func = args
-    return eval_det_cls(pred, gt, ovthresh, use_07, get_iou_func)
+    pred, gt, ovthresh, use_07, get_iou_func, ref_npos = args
+    return eval_det_cls(pred, gt, ovthresh, use_07, get_iou_func, ref_npos)
 
 
 def _regroup(pred_all, gt_all):
@@ -131,14 +142,15 @@ def _regroup(pred_all, gt_all):
 
 
 def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
-             get_iou_func=get_iou_obb):
+             get_iou_func=get_iou_obb, reference_npos_division=False):
     """Multi-class serial evaluation (eval_det.py:173-212)."""
     pred, gt = _regroup(pred_all, gt_all)
     rec, prec, ap = {}, {}, {}
     for classname in gt.keys():
         if classname in pred:
             rec[classname], prec[classname], ap[classname] = eval_det_cls(
-                pred[classname], gt[classname], ovthresh, use_07_metric, get_iou_func
+                pred[classname], gt[classname], ovthresh, use_07_metric, get_iou_func,
+                reference_npos_division
             )
         else:
             rec[classname], prec[classname], ap[classname] = 0, 0, 0
@@ -146,7 +158,8 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
 
 
 def eval_det_multiprocessing(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
-                             get_iou_func=get_iou_obb, processes=10):
+                             get_iou_func=get_iou_obb, processes=10,
+                             reference_npos_division=False):
     """Pool over classes (eval_det.py:215-261).
 
     Uses a spawn-context pool: fork() under a live (multithreaded) JAX
@@ -155,7 +168,8 @@ def eval_det_multiprocessing(pred_all, gt_all, ovthresh=0.25, use_07_metric=Fals
     pred, gt = _regroup(pred_all, gt_all)
     rec, prec, ap = {}, {}, {}
     args = [
-        (pred[c], gt[c], ovthresh, use_07_metric, get_iou_func)
+        (pred[c], gt[c], ovthresh, use_07_metric, get_iou_func,
+         reference_npos_division)
         for c in gt.keys() if c in pred
     ]
     if processes <= 1:

@@ -34,13 +34,19 @@ class TrainState:
     ema_batch_stats: Optional[Any] = None
 
 
-def make_optimizer(weight_decay: float = 0.0):
-    """Adam with lr supplied per-step by the caller (traced scalar)."""
+def make_optimizer(weight_decay: float = 0.0, eps: float = 1e-8):
+    """Adam with lr supplied per-step by the caller (traced scalar).
+
+    ``eps`` matches torch.optim.Adam's (pretrain.py:186); the trajectory
+    differential tests raise it to condition the first updates (at t=1 the
+    Adam update is ~lr*sign(g), which amplifies f32 grad noise on
+    near-zero-gradient coordinates into full-size update differences)."""
     if weight_decay:
         return optax.chain(
-            optax.add_decayed_weights(weight_decay), optax.scale_by_adam()
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(eps=eps),
         )
-    return optax.scale_by_adam()
+    return optax.scale_by_adam(eps=eps)
 
 
 def create_train_state(model, rng, example_batch, with_ema=False, weight_decay=0.0):

@@ -41,9 +41,9 @@ def _flat_apply_updates(tx, state, grads, lr):
     return unravel(flat_new_p), flat_new_p, unravel, new_opt
 
 
-def make_pretrain_step(model, cfg, weight_decay=0.0):
+def make_pretrain_step(model, cfg, weight_decay=0.0, adam_eps=1e-8):
     """Supervised pretrain step: forward_with_pred_jitter + labeled loss."""
-    tx = make_optimizer(weight_decay)
+    tx = make_optimizer(weight_decay, eps=adam_eps)
 
     # donate the TrainState: params/opt/EMA update in place (the
     # EMA tree holds distinct buffers — see train/state.py — so no leaf is
@@ -80,7 +80,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                   obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                   nms_iou=0.25, use_lhs=True, samecls_match=False,
                   dataset="scannet", weight_decay=0.0, view_stats=False,
-                  reference_exact=False):
+                  reference_exact=False, adam_eps=1e-8):
     """Mean-teacher SSL step (train.py:305-371): teacher forward on the
     unaugmented EMA view, student forward on the augmented view, labeled +
     weighted unlabeled loss, Adam, then the EMA parameter update with warmup
@@ -104,7 +104,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
 
     Set True for reference-exact numerics (full-batch jittered teacher,
     full-batch student jitter)."""
-    tx = make_optimizer(weight_decay)
+    tx = make_optimizer(weight_decay, eps=adam_eps)
 
     # donate the TrainState: params/opt/EMA update in place (the
     # EMA tree holds distinct buffers — see train/state.py — so no leaf is
@@ -179,9 +179,12 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         new_params, flat_new_p, unravel, new_opt = _flat_apply_updates(
             tx, state, grads, lr)
 
+        # The reference increments global_step BEFORE the EMA update
+        # (train.py:353-354, starting from 0), so its batch t (0-based) uses
+        # alpha = min(1 - 1/(t+2), decay) — first step 0.5, never 0.
         global_step = state.step
         alpha = jnp.minimum(
-            1.0 - 1.0 / (global_step.astype(jnp.float32) + 1.0), ema_decay
+            1.0 - 1.0 / (global_step.astype(jnp.float32) + 2.0), ema_decay
         )
         # EMA lerp on the flat vector too (same kernel-count argument).
         flat_ema, _ = ravel_pytree(state.ema_params)

@@ -98,8 +98,44 @@ def install_pointnet2_shim():
             f, _np(idx).astype(np.int32), _np(weight)))
         return torch.from_numpy(np.ascontiguousarray(out.transpose(0, 2, 1)))
 
+    # Backward ops (the CUDA ext's atomic scatter-adds,
+    # sampling_gpu.cu:48-51, group_points_gpu.cu:48-79,
+    # interpolate_gpu.cu:121-148) as NumPy scatter-adds, so torch autograd
+    # can run THROUGH the shim for trajectory differential tests.
+    def gather_points_grad(grad_out, idx, n):
+        g = _np(grad_out)  # (B, C, m)
+        i = _np(idx).astype(np.int64)  # (B, m)
+        out = np.zeros((g.shape[0], g.shape[1], n), g.dtype)
+        for b in range(g.shape[0]):
+            np.add.at(out[b], (slice(None), i[b]), g[b])
+        return torch.from_numpy(out)
+
+    def group_points_grad(grad_out, idx, n):
+        g = _np(grad_out)  # (B, C, np, ns)
+        i = _np(idx).astype(np.int64)  # (B, np, ns)
+        B, C = g.shape[:2]
+        out = np.zeros((B, C, n), g.dtype)
+        for b in range(B):
+            np.add.at(out[b], (slice(None), i[b].reshape(-1)),
+                      g[b].reshape(C, -1))
+        return torch.from_numpy(out)
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        g = _np(grad_out)  # (B, c, n)
+        i = _np(idx).astype(np.int64)  # (B, n, 3)
+        w = _np(weight)  # (B, n, 3)
+        B, C = g.shape[:2]
+        out = np.zeros((B, C, m), g.dtype)
+        for b in range(B):
+            for k in range(3):
+                np.add.at(out[b], (slice(None), i[b, :, k]),
+                          g[b] * w[b, :, k][None, :])
+        return torch.from_numpy(out)
+
     for fn in (furthest_point_sampling, gather_points, ball_query,
-               group_points, three_nn, three_interpolate):
+               group_points, three_nn, three_interpolate,
+               gather_points_grad, group_points_grad,
+               three_interpolate_grad):
         setattr(mod, fn.__name__, fn)
 
     sys.modules["pointnet2._ext"] = mod

@@ -32,7 +32,7 @@ def test_ssl_train_defaults_match_reference():
     assert a.unlabeled_loss_weight == 2.0
     assert a.obj_threshold == 0.9 and a.cls_threshold == 0.9
     assert a.iou_threshold == 0.25
-    assert a.opt_rate == 0.01
+    assert a.opt_rate == 5e-4  # train.py:69 default
 
 
 def test_full_reference_flag_surface():

@@ -95,11 +95,16 @@ def test_ssl_step(setup):
     new_state, metrics = step(_donable(state), batch, jax.random.PRNGKey(2), 2e-3, 0.5)
     assert np.isfinite(float(metrics["loss"]))
     assert "unlabeled_detection_loss" in metrics
-    # EMA moved toward student (alpha=0 at step 0 -> ema == new params)
-    diff = jax.tree.map(
-        lambda e, p: float(jnp.abs(e - p).max()), new_state.ema_params, new_state.params
+    # EMA warmup: the reference's first update uses global_step=1 ->
+    # alpha = min(1-1/2, .999) = 0.5 (train.py:353-354,285-287), so
+    # ema1 = 0.5*ema0 + 0.5*params1
+    expect = jax.tree.map(
+        lambda e0, p1: 0.5 * e0 + 0.5 * p1, state.ema_params, new_state.params
     )
-    assert max(jax.tree.leaves(diff)) < 1e-6  # step 0: alpha=min(1-1/1, .999)=0
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), expect, new_state.ema_params
+    )
+    assert max(jax.tree.leaves(diff)) < 1e-6
 
 
 def test_eval_forward(setup):
@@ -147,6 +152,41 @@ def test_multichip_ssl_step(setup):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
     )
+
+
+def test_multichip_paper_batch_config(setup):
+    """The paper config --batch_size 4,8 (reference train.py:47-48) is
+    PER-DEVICE in the CLI: on the 8-device mesh the global batch is 32
+    labeled + 64 unlabeled. The step must run sharded and every metric be
+    finite at exactly this configuration."""
+    model, cfg, state, _ = setup
+    n = jax.device_count()
+    bl_dev, bu_dev = 4, 8  # reference train.py:47-48
+    bl, bu = bl_dev * n, bu_dev * n
+    rng = np.random.RandomState(4)
+    batch = _ssl_batch(rng, cfg, bl=bl, bu=bu)
+
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    step = make_ssl_step(model, cfg, num_labeled=bl)
+    new_state, metrics = step(
+        _donable(state_r), batch_s, jax.random.PRNGKey(5), 2e-3, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["unlabeled_detection_loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_shard_batch_rejects_indivisible(setup):
+    """A hand-built batch whose leading dim is not divisible by the mesh
+    size must fail fast in shard_batch with an actionable message, not deep
+    inside GSPMD."""
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(5)
+    batch = _ssl_batch(rng, cfg, bl=4, bu=8)  # 12 rows on 8 devices
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="per-device"):
+        shard_batch(batch, mesh)
 
 
 def test_host_local_batch_to_global():

@@ -1,0 +1,526 @@
+"""Two-stage end-to-end parity demo on shared fake data (VERDICT r1 #4).
+
+Runs BOTH pipelines — the reference (CPU torch, its CUDA extension backed by
+our kernels via tests/reference_bridge) and ours — through
+pretrain -> SSL -> eval (plain / --use_iou_for_nms / +--opt_step) on the
+SAME deterministic fake-ScanNet mini-dataset, and records both mAP tables
+side by side. This is the closest achievable stand-in for the paper's
+47.2/28.3/39.0/21.1 acceptance numbers while the image has no real
+datasets (they require manual download, reference README.md:83-117).
+
+The fake scenes are LEARNABLE: each instance's extent is drawn near its
+class's ScanNet mean size, so size->class is inferable; geometry (floor +
+boxes of points) drives center/objectness learning.
+
+Phases (each resumable; state under --root):
+  python tools/parity_demo.py --phase data
+  python tools/parity_demo.py --phase ours        (fast: jitted CPU steps)
+  python tools/parity_demo.py --phase reference   (slow: torch through shim)
+  python tools/parity_demo.py --phase report
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONF = dict(
+    num_point=4096,
+    verts=12000,
+    n_train=12,
+    n_labeled=4,
+    n_val=4,
+    pre_epochs=40,
+    pre_bs=4,
+    ssl_epochs=20,
+    bl=2,
+    bu=4,
+    lr_pre=1e-3,
+    lr_ssl=2e-3,
+    opt_step=10,
+    opt_rate=5e-4,
+    seed=0,
+)
+
+
+# --------------------------------------------------------------------------
+# data
+# --------------------------------------------------------------------------
+
+def gen_data(root):
+    from iou3dmatch_tpu.data.config import get_config
+
+    cfg = get_config("scannet")
+    data_dir = os.path.join(root, "data", "scannet_train_detection_data")
+    meta_dir = os.path.join(root, "data", "meta_data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    rng = np.random.RandomState(CONF["seed"])
+
+    def one_scan(name):
+        n = CONF["verts"]
+        verts = np.zeros((n, 6), np.float32)
+        ins = np.zeros(n, np.int64)
+        sem = np.zeros(n, np.int64)
+        # floor: 40% of points on a plane
+        n_floor = int(n * 0.4)
+        verts[:n_floor, 0:2] = rng.uniform(-4, 4, (n_floor, 2))
+        verts[:n_floor, 2] = rng.uniform(0, 0.05, n_floor)
+        # instances: class-conditioned sizes (learnable semantics)
+        n_inst = rng.randint(6, 11)
+        classes = rng.choice(cfg.num_class, n_inst, replace=True)
+        bbox = np.zeros((n_inst, 7))
+        per_inst = (n - n_floor) // n_inst
+        for i, c in enumerate(classes):
+            lo = n_floor + i * per_inst
+            hi = lo + per_inst
+            ext = cfg.mean_size_arr[c] * rng.uniform(0.85, 1.15, 3)
+            ctr = np.array([rng.uniform(-3.2, 3.2), rng.uniform(-3.2, 3.2),
+                            ext[2] / 2 + rng.uniform(0, 0.3)])
+            verts[lo:hi, :3] = ctr + (rng.uniform(-0.5, 0.5, (hi - lo, 3))
+                                      * ext)
+            ins[lo:hi] = i + 1
+            sem[lo:hi] = cfg.nyu40ids[c]
+            mn, mx = verts[lo:hi, :3].min(0), verts[lo:hi, :3].max(0)
+            bbox[i, :3] = (mn + mx) / 2
+            bbox[i, 3:6] = mx - mn
+            bbox[i, 6] = cfg.nyu40ids[c]
+        verts[:, 3:] = rng.uniform(0, 255, (n, 3))
+        np.save(os.path.join(data_dir, f"{name}_vert.npy"), verts)
+        np.save(os.path.join(data_dir, f"{name}_ins_label.npy"), ins)
+        np.save(os.path.join(data_dir, f"{name}_sem_label.npy"), sem)
+        np.save(os.path.join(data_dir, f"{name}_bbox.npy"), bbox)
+
+    train = [f"scene{i:04d}_00" for i in range(CONF["n_train"])]
+    val = [f"scene{i:04d}_00" for i in range(CONF["n_train"],
+                                             CONF["n_train"] + CONF["n_val"])]
+    for name in train + val:
+        one_scan(name)
+    with open(os.path.join(meta_dir, "scannetv2_train.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(os.path.join(meta_dir, "scannetv2_val.txt"), "w") as f:
+        f.write("\n".join(val) + "\n")
+    with open(os.path.join(meta_dir, "labeled.txt"), "w") as f:
+        f.write("\n".join(train[: CONF["n_labeled"]]) + "\n")
+    print(f"wrote {len(train)} train (+{CONF['n_labeled']} labeled) "
+          f"+ {len(val)} val scans under {data_dir}")
+
+
+# --------------------------------------------------------------------------
+# ours
+# --------------------------------------------------------------------------
+
+def run_ours(root):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    data = os.path.join(root, "data")
+    ours = os.path.join(root, "ours")
+    os.makedirs(ours, exist_ok=True)
+    from iou3dmatch_tpu.cli import pretrain as cli_pretrain
+    from iou3dmatch_tpu.cli import train as cli_train
+
+    common = ["--data_path", data, "--labeled_sample_list", "labeled.txt",
+              "--num_point", str(CONF["num_point"]), "--num_workers", "2",
+              "--eval_interval", "100000", "--save_interval", "100000",
+              "--print_interval", "1000"]
+    t0 = time.time()
+    cli_pretrain.main([
+        "--log_dir", os.path.join(ours, "pretrain"),
+        "--batch_size", str(CONF["pre_bs"]),
+        "--max_epoch", str(CONF["pre_epochs"]),
+        "--learning_rate", str(CONF["lr_pre"]), *common])
+    print(f"[ours] pretrain done in {time.time()-t0:.0f}s")
+
+    t0 = time.time()
+    cli_train.main([
+        "--log_dir", os.path.join(ours, "ssl"),
+        "--detector_checkpoint", os.path.join(ours, "pretrain", "checkpoint.tar"),
+        "--batch_size", f"{CONF['bl']},{CONF['bu']}",
+        "--max_epoch", str(CONF["ssl_epochs"]),
+        "--learning_rate", str(CONF["lr_ssl"]),
+        "--reference_exact_step", *common])
+    print(f"[ours] SSL done in {time.time()-t0:.0f}s")
+
+    # evals via the library (clean metric capture)
+    from types import SimpleNamespace
+
+    from iou3dmatch_tpu.cli.common import (build_ssl_datasets, evaluate,
+                                           make_config_dict)
+    from iou3dmatch_tpu.data.loader import DataLoader
+    from iou3dmatch_tpu.models.factory import build_votenet
+    from iou3dmatch_tpu.train import (checkpoint, create_train_state,
+                                      make_eval_forward)
+
+    args = SimpleNamespace(
+        dataset="scannet", data_path=data, labeled_sample_list="labeled.txt",
+        num_point=CONF["num_point"], no_height=False, use_color=False,
+        synthetic=False, view_stats=False, use_sunrgbd_v2=False)
+    _, _, eval_ds, cfg = build_ssl_datasets(args)
+    eval_loader = DataLoader(eval_ds, 2, shuffle=False, drop_last=False,
+                             num_workers=0, worker_type="thread")
+    model, _ = build_votenet("scannet")
+    example = next(iter(eval_loader))
+    state = create_train_state(model, jax.random.PRNGKey(0), example,
+                               with_ema=True)
+    state, _, _ = checkpoint.load(os.path.join(ours, "ssl", "checkpoint.tar"),
+                                  state)
+    fwd = make_eval_forward(model, cfg)
+
+    results = {}
+    for mode, iou_nms, opt in (("plain", False, 0),
+                               ("iou_nms", True, 0),
+                               ("iou_nms_opt", True, CONF["opt_step"])):
+        cd = make_config_dict(cfg, SimpleNamespace(use_iou_for_nms=iou_nms))
+        _, ap_results, _ = evaluate(
+            model, cfg, state, eval_loader, cd, print, fwd,
+            ap_iou_thresholds=(0.25, 0.5),
+            opt_rate=CONF["opt_rate"] if opt else 0.0, opt_step=opt)
+        results[mode] = {
+            str(t): {"mAP": float(m["mAP"]), "AR": float(m["AR"]),
+                     "per_class_ap": {k[:-18]: float(v) for k, v in m.items()
+                                      if k.endswith("Average Precision")}}
+            for t, m in ap_results.items()}
+        print(f"[ours] eval {mode}: " + "  ".join(
+            f"mAP@{t}={results[mode][str(t)]['mAP']:.4f}" for t in (0.25, 0.5)))
+
+    with open(os.path.join(ours, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+# --------------------------------------------------------------------------
+# reference
+# --------------------------------------------------------------------------
+
+def _ref_batcher(ds, bs, rng, drop_last=True):
+    import torch
+
+    idx = rng.permutation(len(ds))
+    n_full = len(ds) // bs if drop_last else (len(ds) + bs - 1) // bs
+    for bi in range(n_full):
+        items = [ds[i] for i in idx[bi * bs:(bi + 1) * bs]]
+        batch = {}
+        for k in items[0]:
+            arr = np.stack([it[k] for it in items])
+            batch[k] = torch.from_numpy(arr)
+        yield batch
+
+
+def _bn_momentum(epoch):
+    return max(0.5 * 0.5 ** (epoch // 20), 0.001)
+
+
+def _set_bn(net, m):
+    import torch
+
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+            mod.momentum = m
+
+
+def run_reference(root):
+    import torch
+
+    from tests.reference_bridge import install_pointnet2_shim, load
+
+    install_pointnet2_shim()
+    ref_v = load("models.votenet_iou_branch")
+    ref_lab = load("models.loss_helper_labeled")
+    ref_unl = load("models.loss_helper_unlabeled")
+    ref_ap = load("models.ap_helper")
+    ref_ed = load("utils.eval_det")
+    ref_ds_mod = load("scannet.scannet_detection_dataset")
+    ref_ssl_mod = load("scannet.scannet_ssl_dataset")
+    ref_sc = load("scannet.model_util_scannet")
+
+    # serial AP (the reference's fork Pool(10) deadlocks under live JAX/torch
+    # threads on this container; eval_det is the same math serially)
+    ref_ap.eval_det_multiprocessing = (
+        lambda pred, gt, ovthresh=0.25, get_iou_func=None:
+        ref_ed.eval_det(pred, gt, ovthresh, False, get_iou_func))
+
+    dc = ref_sc.ScannetDatasetConfig()
+    data_dir = os.path.join(root, "data", "scannet_train_detection_data")
+    meta = os.path.join(root, "data", "meta_data")
+    refd = os.path.join(root, "reference")
+    os.makedirs(refd, exist_ok=True)
+    train_names = open(os.path.join(meta, "scannetv2_train.txt")).read().split()
+    val_names = open(os.path.join(meta, "scannetv2_val.txt")).read().split()
+    labeled_names = open(os.path.join(meta, "labeled.txt")).read().split()
+
+    def det_ds(names, augment):
+        ds = ref_ds_mod.ScannetDetectionDataset.__new__(
+            ref_ds_mod.ScannetDetectionDataset)
+        ds.data_path = data_dir
+        ds.scan_names = list(names)
+        ds.num_points = CONF["num_point"]
+        ds.use_color = False
+        ds.use_height = True
+        ds.augment = augment
+        ds.remove_obj = False
+        return ds
+
+    def ssl_labeled_ds():
+        ds = ref_ssl_mod.ScannetSSLLabeledDataset.__new__(
+            ref_ssl_mod.ScannetSSLLabeledDataset)
+        ds.data_path = data_dir
+        ds.scan_names = list(labeled_names)
+        ds.num_points = CONF["num_point"]
+        ds.use_color = False
+        ds.use_height = True
+        ds.augment = True
+        return ds
+
+    def ssl_unlabeled_ds():
+        ds = ref_ssl_mod.ScannetSSLUnlabeledDataset.__new__(
+            ref_ssl_mod.ScannetSSLUnlabeledDataset)
+        ds.data_path = data_dir
+        ds.scan_names = sorted(set(train_names) - set(labeled_names))
+        ds.num_points = CONF["num_point"]
+        ds.use_color = False
+        ds.use_height = True
+        ds.augment = True
+        ds.load_labels = False
+        return ds
+
+    def make_net():
+        return ref_v.VoteNet(
+            num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
+            num_size_cluster=dc.num_size_cluster,
+            mean_size_arr=dc.mean_size_arr, input_feature_dim=1,
+            num_proposal=128, sampling="seed_fps", dataset_config=dc)
+
+    torch.manual_seed(CONF["seed"])
+    net = make_net()
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=CONF["lr_pre"])
+
+    pre_ckpt = os.path.join(refd, "pretrain.pt")
+    if os.path.exists(pre_ckpt):
+        net.load_state_dict(torch.load(pre_ckpt))
+        print("[ref] pretrain checkpoint found, skipping stage 1")
+    else:
+        ds = det_ds(labeled_names, augment=True)
+        rng = np.random.RandomState(1)
+        t0 = time.time()
+        for epoch in range(CONF["pre_epochs"]):
+            _set_bn(net, _bn_momentum(epoch))
+            np.random.seed()  # the reference reseeds each epoch (train.py:562-564)
+            ep_losses = []
+            for batch in _ref_batcher(ds, CONF["pre_bs"], rng):
+                opt.zero_grad()
+                end_points = net.forward_with_pred_jitter(
+                    {"point_clouds": batch["point_clouds"]})
+                for k in batch:
+                    if k not in end_points:
+                        end_points[k] = batch[k]
+                end_points["supervised_mask"] = torch.ones(
+                    batch["point_clouds"].shape[0]).long()
+                loss, _ = ref_lab.get_labeled_loss(
+                    end_points, dc, {"dataset_config": dc})
+                loss.backward()
+                opt.step()
+                ep_losses.append(float(loss.detach()))
+            print(f"[ref] pretrain epoch {epoch}: loss "
+                  f"{np.mean(ep_losses):.3f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+        torch.save(net.state_dict(), pre_ckpt)
+
+    # ---- stage 2: SSL
+    ssl_ckpt = os.path.join(refd, "ssl.pt")
+    if os.path.exists(ssl_ckpt):
+        net.load_state_dict(torch.load(ssl_ckpt))
+        print("[ref] SSL checkpoint found, skipping stage 2")
+    else:
+        net.load_state_dict(torch.load(pre_ckpt))
+        ema = make_net()
+        ema.load_state_dict(torch.load(pre_ckpt))
+        for p in ema.parameters():
+            p.detach_()
+        net.train()
+        ema.train()
+        opt = torch.optim.Adam(net.parameters(), lr=CONF["lr_ssl"])
+        lds, uds = ssl_labeled_ds(), ssl_unlabeled_ds()
+        cd = {"dataset_config": dc, "unlabeled_batch_size": CONF["bu"],
+              "nms_iou": 0.25, "use_old_type_nms": False, "use_lhs": True,
+              "samecls_match": False, "view_stats": False,
+              "dataset": "scannet", "obj_threshold": 0.9,
+              "cls_threshold": 0.9, "iou_threshold": 0.25}
+        rng = np.random.RandomState(2)
+        global_step = 0
+        t0 = time.time()
+        for epoch in range(CONF["ssl_epochs"]):
+            _set_bn(net, _bn_momentum(epoch))
+            _set_bn(ema, _bn_momentum(epoch))
+            np.random.seed()
+            uiter = _ref_batcher(uds, CONF["bu"], rng)
+            ep_losses = []
+            for lbatch in _ref_batcher(lds, CONF["bl"], rng):
+                try:
+                    ubatch = next(uiter)
+                except StopIteration:
+                    uiter = _ref_batcher(uds, CONF["bu"], rng)
+                    ubatch = next(uiter)
+                batch = dict(lbatch)
+                for k in ubatch:  # train.py:319-325
+                    batch[k] = torch.cat([lbatch[k], ubatch[k]], dim=0)
+                opt.zero_grad()
+                with torch.no_grad():
+                    ema_end_points = ema.forward_with_pred_jitter(
+                        {"point_clouds": batch["ema_point_clouds"]})
+                end_points = net.forward_with_pred_jitter(
+                    {"point_clouds": batch["point_clouds"]})
+                for k in batch:
+                    if k not in end_points:
+                        end_points[k] = batch[k]
+                det_loss, end_points = ref_lab.get_labeled_loss(
+                    end_points, dc, {"dataset_config": dc})
+                unl_loss, end_points = ref_unl.get_unlabeled_loss(
+                    end_points, ema_end_points, dc, cd)
+                loss = det_loss + unl_loss * 2.0
+                loss.backward()
+                opt.step()
+                global_step += 1
+                alpha = min(1 - 1 / (global_step + 1), 0.999)
+                for ep_, p_ in zip(ema.parameters(), net.parameters()):
+                    ep_.data.mul_(alpha).add_(p_.data, alpha=1 - alpha)
+                ep_losses.append(float(loss.detach()))
+            print(f"[ref] SSL epoch {epoch}: loss {np.mean(ep_losses):.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        torch.save(net.state_dict(), ssl_ckpt)
+
+    # ---- eval (3 modes), evaluate_one_epoch / evaluate_with_opt cores
+    net.load_state_dict(torch.load(ssl_ckpt))
+    net.eval()
+    vds = det_ds(val_names, augment=False)
+    results = {}
+    for mode in ("plain", "iou_nms", "iou_nms_opt"):
+        cd = {"remove_empty_box": False, "use_3d_nms": True, "nms_iou": 0.25,
+              "use_old_type_nms": False, "cls_nms": True,
+              "use_iou_for_nms": mode != "plain", "per_class_proposal": True,
+              "conf_thresh": 0.05, "dataset_config": dc}
+        calcs = {t: ref_ap.APCalculator(t, dc.class2type) for t in (0.25, 0.5)}
+        rng = np.random.RandomState(3)
+        for batch in _ref_batcher(vds, 2, rng, drop_last=False):
+            inputs = {"point_clouds": batch["point_clouds"]}
+            if mode == "iou_nms_opt":
+                end_points = _ref_opt_eval(net, inputs, dc, CONF["opt_rate"],
+                                           CONF["opt_step"])
+            else:
+                with torch.no_grad():
+                    end_points = net(inputs)
+            for k in batch:
+                if k not in end_points:
+                    end_points[k] = batch[k]
+            pred = ref_ap.parse_predictions(end_points, cd)
+            gt = ref_ap.parse_groundtruths(end_points, cd)
+            for c in calcs.values():
+                c.step(pred, gt)
+        results[mode] = {}
+        for t, c in calcs.items():
+            m = c.compute_metrics()
+            results[mode][str(t)] = {
+                "mAP": float(m["mAP"]), "AR": float(m["AR"]),
+                "per_class_ap": {k[:-18]: float(v) for k, v in m.items()
+                                 if k.endswith("Average Precision")}}
+        print(f"[ref] eval {mode}: " + "  ".join(
+            f"mAP@{t}={results[mode][str(t)]['mAP']:.4f}" for t in (0.25, 0.5)),
+            flush=True)
+
+    with open(os.path.join(refd, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def _ref_opt_eval(net, inputs, dc, opt_rate, opt_step):
+    """evaluate_with_opt core (train.py:444-492)."""
+    import torch
+
+    end_points = net(inputs, iou_opt=True)
+    center = end_points["center"]
+    size_class = torch.argmax(end_points["size_scores"], dim=-1)
+    sem_cls = end_points["sem_cls_scores"].argmax(-1)
+    size = end_points["size"]
+    heading = end_points["heading"]
+    iou = end_points["iou_scores"]
+    iou_gathered = torch.gather(
+        iou, dim=2, index=sem_cls.unsqueeze(-1).detach()
+    ).squeeze(-1).contiguous().view(-1)
+    iou_gathered.backward(torch.ones(iou_gathered.shape))
+    center_grad, size_grad = center.grad, size.grad
+    mask = torch.ones(center.shape)
+    count = 0
+    for k in end_points.keys():
+        end_points[k] = end_points[k].detach()
+    while True:
+        center_ = center.detach() + opt_rate * center_grad * mask
+        size_ = size.detach() + opt_rate * size_grad * mask
+        center_.requires_grad = True
+        size_.requires_grad = True
+        end_points_ = net.forward_onlyiou_faster(
+            end_points, center_, size_, heading.detach())
+        iou = end_points_["iou_scores"]
+        iou_gathered = torch.gather(
+            iou, dim=2, index=sem_cls.unsqueeze(-1).detach()
+        ).squeeze(-1).contiguous().view(-1)
+        iou_gathered.backward(torch.ones(iou_gathered.shape))
+        center_grad, size_grad = center_.grad, size_.grad
+        count += 1
+        if count > opt_step:
+            break
+        center, size = center_, size_
+    end_points["center"] = center_
+    B, K = size_class.shape[:2]
+    msa = torch.from_numpy(dc.mean_size_arr.astype(np.float32))
+    size_base = torch.index_select(msa, 0, size_class.view(-1)).view(B, K, 3)
+    end_points["size_residuals"] = (size_ * 2 - size_base).unsqueeze(2).expand(
+        -1, -1, dc.num_size_cluster, -1)
+    for k in end_points.keys():
+        if torch.is_tensor(end_points[k]):
+            end_points[k] = end_points[k].detach()
+    return end_points
+
+
+# --------------------------------------------------------------------------
+# report
+# --------------------------------------------------------------------------
+
+def report(root):
+    ours = json.load(open(os.path.join(root, "ours", "metrics.json")))
+    ref = json.load(open(os.path.join(root, "reference", "metrics.json")))
+    lines = ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
+             "|---|---|---|---|"]
+    for mode in ("plain", "iou_nms", "iou_nms_opt"):
+        for t in ("0.25", "0.5"):
+            for metric in ("mAP", "AR"):
+                r = ref[mode][t][metric]
+                o = ours[mode][t][metric]
+                lines.append(f"| {mode} | {metric}@{t} | {r:.4f} | {o:.4f} |")
+    table = "\n".join(lines)
+    print(table)
+    with open(os.path.join(root, "report.md"), "w") as f:
+        f.write(table + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", required=True,
+                    choices=["data", "ours", "reference", "report", "all"])
+    ap.add_argument("--root", default=os.path.join(REPO, "_parity_demo"))
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+    phases = ([args.phase] if args.phase != "all"
+              else ["data", "ours", "reference", "report"])
+    for phase in phases:
+        {"data": gen_data, "ours": run_ours, "reference": run_reference,
+         "report": report}[phase](args.root)
+
+
+if __name__ == "__main__":
+    main()
