@@ -120,6 +120,10 @@ def main(argv=None):
     logger(f"train scenes: {len(train_ds)}  eval scenes: {len(eval_ds)}")
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.num_workers, seed=args.seed)
+    if len(train_loader) == 0:
+        raise SystemExit(
+            f"batch_size {args.batch_size} > {len(train_ds)} train scenes: "
+            "zero batches per epoch (drop_last) — shrink --batch_size")
     eval_loader = DataLoader(eval_ds, args.batch_size, shuffle=False,
                              drop_last=False, num_workers=args.num_workers)
 

@@ -141,6 +141,12 @@ def main(argv=None):
                                 num_workers=args.num_workers, seed=args.seed)
     unlabeled_loader = DataLoader(unlabeled_ds, bu, shuffle=True,
                                   num_workers=args.num_workers, seed=args.seed + 1)
+    if len(labeled_loader) == 0 or len(unlabeled_loader) == 0:
+        raise SystemExit(
+            f"batch sizes {bl}+{bu} exceed the dataset "
+            f"({len(labeled_ds)} labeled / {len(unlabeled_ds)} unlabeled "
+            "scenes): zero batches per epoch (drop_last) — shrink "
+            "--batch_size")
     ssl_loader = SSLBatcher(labeled_loader, unlabeled_loader)
     eval_loader = DataLoader(eval_ds, bl + bu, shuffle=False, drop_last=False,
                              num_workers=args.num_workers)

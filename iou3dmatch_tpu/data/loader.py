@@ -172,7 +172,17 @@ class SSLBatcher:
             return next(self._unlabeled_iter)
         except StopIteration:
             self._unlabeled_iter = iter(self.unlabeled_loader)
-            return next(self._unlabeled_iter)
+            try:
+                return next(self._unlabeled_iter)
+            except StopIteration:
+                # e.g. batch_size > len(dataset) with drop_last: the loader
+                # yields ZERO batches per epoch and cycling can never make
+                # progress — fail loudly instead of spinning
+                raise RuntimeError(
+                    "SSLBatcher: the unlabeled loader yields no batches "
+                    f"({len(self.unlabeled_loader.dataset)} scenes, batch "
+                    f"size {self.unlabeled_loader.batch_size}, drop_last="
+                    f"{self.unlabeled_loader.drop_last})") from None
 
     def __iter__(self):
         for labeled in self.labeled_loader:
@@ -187,14 +197,21 @@ class SSLBatcher:
 
 
 def prefetch(iterator, size=2):
-    """Background-thread prefetch of already-collated batches."""
+    """Background-thread prefetch of already-collated batches.
+
+    Producer exceptions are forwarded and re-raised in the consumer — a
+    dying producer thread must not leave the consumer blocked on q.get()
+    forever."""
     q = queue_mod.Queue(maxsize=size)
     sentinel = object()
 
     def producer():
-        for item in iterator:
-            q.put(item)
-        q.put(sentinel)
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -202,4 +219,6 @@ def prefetch(iterator, size=2):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

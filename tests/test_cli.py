@@ -82,8 +82,12 @@ def test_driver_chain_pretrain_ssl_eval(tmp_path):
     from iou3dmatch_tpu.cli import train as cli_train
 
     pre_dir = str(tmp_path / "log_pretrain")
+    # The SSL driver's --batch_size is PER-DEVICE (global = per_device x
+    # n_devices); under the conftest's 8 virtual CPU devices "1,2" means a
+    # global batch of 8+16, so 8 labeled (+16 unlabeled) synthetic scenes
+    # are needed for >=1 real step per epoch (drop_last).
     common = [
-        "--synthetic", "--synthetic_scenes", "4", "--tiny",
+        "--synthetic", "--synthetic_scenes", "8", "--tiny",
         "--num_point", "512", "--num_target", "16", "--num_workers", "2",
         "--bn_decay_step", "1",
     ]

@@ -355,3 +355,35 @@ def test_represents_int_and_mapping(tmp_path):
     p2.write_text("nyu40id\tid\n5\t1\n7\t2\n")
     m2 = read_label_mapping(str(p2), label_from="nyu40id", label_to="id")
     assert m2 == {5: 1, 7: 2}  # int keys, scannet_utils.py:41-42
+
+
+def test_prefetch_propagates_producer_exception():
+    """A dying producer must re-raise in the consumer, not hang q.get()."""
+    from iou3dmatch_tpu.data.loader import prefetch
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_sslbatcher_empty_unlabeled_loader_errors():
+    """batch_size > len(unlabeled dataset) with drop_last yields zero
+    batches; cycling must fail loudly instead of spinning forever."""
+    from iou3dmatch_tpu.data.loader import DataLoader, SSLBatcher
+
+    class Tiny:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"point_clouds": np.zeros((8, 4), np.float32)}
+
+    labeled = DataLoader(Tiny(), 2, num_workers=0, worker_type="thread")
+    unlabeled = DataLoader(Tiny(), 4, num_workers=0, worker_type="thread")
+    with pytest.raises(RuntimeError, match="no batches"):
+        next(iter(SSLBatcher(labeled, unlabeled)))

@@ -35,8 +35,8 @@ CONF = dict(
     n_train=12,
     n_labeled=4,
     n_val=4,
-    pre_epochs=40,
-    pre_bs=4,
+    pre_epochs=60,
+    pre_bs=2,
     ssl_epochs=20,
     bl=2,
     bu=4,
