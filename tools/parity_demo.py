@@ -133,7 +133,7 @@ def run_ours(root):
               "--print_interval", "1000"]
     t0 = time.time()
     cli_pretrain.main([
-        "--log_dir", os.path.join(ours, "pretrain"),
+        "--log_dir", os.path.join(ours, "pretrain"), "--resume",
         "--batch_size", str(CONF["pre_bs"]),
         "--max_epoch", str(CONF["pre_epochs"]),
         "--learning_rate", str(CONF["lr_pre"]), *common])
@@ -141,7 +141,7 @@ def run_ours(root):
 
     t0 = time.time()
     cli_train.main([
-        "--log_dir", os.path.join(ours, "ssl"),
+        "--log_dir", os.path.join(ours, "ssl"), "--resume",
         "--detector_checkpoint", os.path.join(ours, "pretrain", "checkpoint.tar"),
         "--batch_size", f"{CONF['bl']},{CONF['bu']}",
         "--max_epoch", str(CONF["ssl_epochs"]),
