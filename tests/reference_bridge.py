@@ -62,26 +62,32 @@ def install_pointnet2_shim():
     def _np(t):
         return np.ascontiguousarray(t.detach().cpu().numpy())
 
+    def _t(arr):
+        # np.asarray on a device array (and astype with order='K') can yield
+        # non-C-contiguous layouts; the reference .view()s these tensors
+        # (e.g. grid_conv_module.py:89), which requires contiguity.
+        return torch.from_numpy(np.ascontiguousarray(arr))
+
     def furthest_point_sampling(xyz, npoint):
         out = np.asarray(ops.furthest_point_sample(_np(xyz), int(npoint)))
-        return torch.from_numpy(out.astype(np.int32))
+        return _t(out.astype(np.int32))
 
     def gather_points(features, idx):
         f = _np(features)  # (B, C, N)
         i = _np(idx).astype(np.int64)
         out = np.stack([f[b][:, i[b]] for b in range(f.shape[0])])
-        return torch.from_numpy(out)
+        return _t(out)
 
     def ball_query(new_xyz, xyz, radius, nsample):
         out = np.asarray(ops.ball_query(
             float(radius), int(nsample), _np(xyz), _np(new_xyz), exact=True))
-        return torch.from_numpy(out.astype(np.int32))
+        return _t(out.astype(np.int32))
 
     def group_points(features, idx):
         f = _np(features)  # (B, C, N)
         i = _np(idx).astype(np.int64)  # (B, np, ns)
         out = np.stack([f[b][:, i[b]] for b in range(f.shape[0])])
-        return torch.from_numpy(out)  # (B, C, np, ns)
+        return _t(out)  # (B, C, np, ns)
 
     def three_nn(unknown, known):
         # the CUDA _ext returns SQUARED distances; the Python wrapper takes
@@ -89,14 +95,13 @@ def install_pointnet2_shim():
         # wrapper-level sqrt distances, so square them here.
         d, i = ops.three_nn(_np(unknown), _np(known))
         d = np.asarray(d).astype(np.float32)
-        return (torch.from_numpy(d * d),
-                torch.from_numpy(np.asarray(i).astype(np.int32)))
+        return (_t(d * d), _t(np.asarray(i).astype(np.int32)))
 
     def three_interpolate(features, idx, weight):
         f = _np(features).transpose(0, 2, 1)  # -> (B, m, C)
         out = np.asarray(ops.three_interpolate(
             f, _np(idx).astype(np.int32), _np(weight)))
-        return torch.from_numpy(np.ascontiguousarray(out.transpose(0, 2, 1)))
+        return _t(out.transpose(0, 2, 1))
 
     # Backward ops (the CUDA ext's atomic scatter-adds,
     # sampling_gpu.cu:48-51, group_points_gpu.cu:48-79,

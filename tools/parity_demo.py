@@ -226,6 +226,12 @@ def _set_bn(net, m):
 
 
 def run_reference(root):
+    import jax
+
+    # The shim backs the reference's _ext ops with our JAX kernels; without
+    # this they'd run through the (tunneled, slow) default TPU platform.
+    jax.config.update("jax_platforms", "cpu")
+
     import torch
 
     from tests.reference_bridge import install_pointnet2_shim, load
