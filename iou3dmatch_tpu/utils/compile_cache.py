@@ -5,7 +5,30 @@ cache brings repeat runs (drivers, bench, eval) down to seconds. Verified to
 work through the tunneled TPU backend. Opt out with
 IOU3DMATCH_NO_COMPILE_CACHE=1; relocate with JAX_COMPILATION_CACHE_DIR.
 """
+import hashlib
 import os
+
+
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags.
+
+    XLA:CPU's persistent cache stores AOT-compiled machine code keyed
+    WITHOUT the target machine features; an entry compiled on a host with
+    a different ISA loads with an 'could lead to SIGILL' error. Keying the
+    CPU cache directory on the host's own flags makes entries non-portable
+    by construction instead of crash-prone by accident.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
 
 
 def enable_compilation_cache() -> None:
@@ -17,6 +40,10 @@ def enable_compilation_cache() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/iou3dmatch_jax"),
     )
+    platforms = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in platforms.lower():
+        cache_dir = os.path.join(cache_dir, "cpu-" + _host_cpu_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -17,6 +17,11 @@ Phases (each resumable; state under --root):
   python tools/parity_demo.py --phase ours        (fast: jitted CPU steps)
   python tools/parity_demo.py --phase reference   (slow: torch through shim)
   python tools/parity_demo.py --phase report
+
+``--dataset sunrgbd`` runs the same two-stage demo on a fake SUN RGB-D
+mini-dataset (half-extent dumps, 12 heading bins, ±30° rotation augment —
+sunrgbd_detection_dataset.py:50-246 of the reference), covering the paper's
+second acceptance pair (39.0/21.1, BASELINE.md).
 """
 import argparse
 import json
@@ -52,7 +57,9 @@ CONF = dict(
 # data
 # --------------------------------------------------------------------------
 
-def gen_data(root):
+def gen_data(root, dataset="scannet"):
+    if dataset == "sunrgbd":
+        return _gen_sunrgbd(root)
     from iou3dmatch_tpu.data.config import get_config
 
     cfg = get_config("scannet")
@@ -112,11 +119,74 @@ def gen_data(root):
           f"+ {len(val)} val scans under {data_dir}")
 
 
+def _gen_sunrgbd(root):
+    """Fake SUN RGB-D v1 dumps: {scan}_pc.npz (N,6 xyz+rgb), _bbox.npy
+    (K,8: centroid, HALF extents, heading, class), _votes.npz (N,10) —
+    the layout sunrgbd_data.py:171+ of the reference produces."""
+    from iou3dmatch_tpu.data.config import get_config
+
+    cfg = get_config("sunrgbd")
+    base = os.path.join(root, "data")
+    train_dir = os.path.join(base, "sunrgbd_pc_bbox_votes_50k_v1_train")
+    val_dir = os.path.join(base, "sunrgbd_pc_bbox_votes_50k_v1_val")
+    split_dir = os.path.join(base, "sunrgbd_trainval")
+    for d in (train_dir, val_dir, split_dir):
+        os.makedirs(d, exist_ok=True)
+
+    rng = np.random.RandomState(CONF["seed"])
+
+    def one_scan(out_dir, name):
+        n = CONF["verts"]
+        pc = np.zeros((n, 6), np.float32)
+        n_floor = int(n * 0.4)
+        pc[:n_floor, 0:2] = rng.uniform(-4, 4, (n_floor, 2))
+        pc[:n_floor, 2] = rng.uniform(0, 0.05, n_floor)
+        pc[:, 3:] = rng.uniform(0, 1, (n, 3))
+        votes = np.zeros((n, 10), np.float32)
+        n_inst = rng.randint(6, 11)
+        classes = rng.choice(cfg.num_class, n_inst, replace=True)
+        bbox = np.zeros((n_inst, 8))
+        per_inst = (n - n_floor) // n_inst
+        for i, c in enumerate(classes):
+            lo = n_floor + i * per_inst
+            hi = lo + per_inst
+            full = cfg.mean_size_arr[c] * rng.uniform(0.85, 1.15, 3)
+            ctr = np.array([rng.uniform(-3.2, 3.2), rng.uniform(-3.2, 3.2),
+                            full[2] / 2 + rng.uniform(0, 0.3)])
+            heading = rng.uniform(-np.pi / 3, np.pi / 3)
+            co, si = np.cos(-heading), np.sin(-heading)
+            rot = np.array([[co, -si, 0], [si, co, 0], [0, 0, 1]])
+            local = rng.uniform(-0.5, 0.5, (hi - lo, 3)) * full
+            pc[lo:hi, :3] = local @ rot.T + ctr
+            votes[lo:hi, 0] = 1
+            v = ctr - pc[lo:hi, :3]
+            votes[lo:hi, 1:4] = votes[lo:hi, 4:7] = votes[lo:hi, 7:10] = v
+            bbox[i, :3] = ctr
+            bbox[i, 3:6] = full / 2  # disk stores HALF extents
+            bbox[i, 6], bbox[i, 7] = heading, c
+        np.savez_compressed(os.path.join(out_dir, f"{name}_pc.npz"), pc=pc)
+        np.save(os.path.join(out_dir, f"{name}_bbox.npy"), bbox)
+        np.savez_compressed(os.path.join(out_dir, f"{name}_votes.npz"),
+                            point_votes=votes)
+
+    train = [f"{i:06d}" for i in range(1, CONF["n_train"] + 1)]
+    val = [f"{i:06d}" for i in range(CONF["n_train"] + 1,
+                                     CONF["n_train"] + CONF["n_val"] + 1)]
+    for name in train:
+        one_scan(train_dir, name)
+    for name in val:
+        one_scan(val_dir, name)
+    with open(os.path.join(split_dir, "labeled.txt"), "w") as f:
+        f.write("\n".join(train[: CONF["n_labeled"]]) + "\n")
+    print(f"wrote {len(train)} train (+{CONF['n_labeled']} labeled) "
+          f"+ {len(val)} val scans under {base} (sunrgbd)")
+
+
 # --------------------------------------------------------------------------
 # ours
 # --------------------------------------------------------------------------
 
-def run_ours(root):
+def run_ours(root, dataset="scannet"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -127,7 +197,8 @@ def run_ours(root):
     from iou3dmatch_tpu.cli import pretrain as cli_pretrain
     from iou3dmatch_tpu.cli import train as cli_train
 
-    common = ["--data_path", data, "--labeled_sample_list", "labeled.txt",
+    common = ["--dataset", dataset,
+              "--data_path", data, "--labeled_sample_list", "labeled.txt",
               "--num_point", str(CONF["num_point"]), "--num_workers", "2",
               "--eval_interval", "100000", "--save_interval", "100000",
               "--print_interval", "1000"]
@@ -160,13 +231,13 @@ def run_ours(root):
                                       make_eval_forward)
 
     args = SimpleNamespace(
-        dataset="scannet", data_path=data, labeled_sample_list="labeled.txt",
+        dataset=dataset, data_path=data, labeled_sample_list="labeled.txt",
         num_point=CONF["num_point"], no_height=False, use_color=False,
         synthetic=False, view_stats=False, use_sunrgbd_v2=False)
     _, _, eval_ds, cfg = build_ssl_datasets(args)
     eval_loader = DataLoader(eval_ds, 2, shuffle=False, drop_last=False,
                              num_workers=0, worker_type="thread")
-    model, _ = build_votenet("scannet")
+    model, _ = build_votenet(dataset)
     example = next(iter(eval_loader))
     state = create_train_state(model, jax.random.PRNGKey(0), example,
                                with_ema=True)
@@ -225,7 +296,7 @@ def _set_bn(net, m):
             mod.momentum = m
 
 
-def run_reference(root):
+def run_reference(root, dataset="scannet"):
     import jax
 
     # The shim backs the reference's _ext ops with our JAX kernels; without
@@ -242,9 +313,6 @@ def run_reference(root):
     ref_unl = load("models.loss_helper_unlabeled")
     ref_ap = load("models.ap_helper")
     ref_ed = load("utils.eval_det")
-    ref_ds_mod = load("scannet.scannet_detection_dataset")
-    ref_ssl_mod = load("scannet.scannet_ssl_dataset")
-    ref_sc = load("scannet.model_util_scannet")
 
     # serial AP (the reference's fork Pool(10) deadlocks under live JAX/torch
     # threads on this container; eval_det is the same math serially)
@@ -252,49 +320,63 @@ def run_reference(root):
         lambda pred, gt, ovthresh=0.25, get_iou_func=None:
         ref_ed.eval_det(pred, gt, ovthresh, False, get_iou_func))
 
-    dc = ref_sc.ScannetDatasetConfig()
-    data_dir = os.path.join(root, "data", "scannet_train_detection_data")
-    meta = os.path.join(root, "data", "meta_data")
     refd = os.path.join(root, "reference")
     os.makedirs(refd, exist_ok=True)
-    train_names = open(os.path.join(meta, "scannetv2_train.txt")).read().split()
-    val_names = open(os.path.join(meta, "scannetv2_val.txt")).read().split()
-    labeled_names = open(os.path.join(meta, "labeled.txt")).read().split()
+    if dataset == "scannet":
+        ref_ds_mod = load("scannet.scannet_detection_dataset")
+        ref_ssl_mod = load("scannet.scannet_ssl_dataset")
+        dc = load("scannet.model_util_scannet").ScannetDatasetConfig()
+        det_cls = ref_ds_mod.ScannetDetectionDataset
+        lab_cls = ref_ssl_mod.ScannetSSLLabeledDataset
+        unl_cls = ref_ssl_mod.ScannetSSLUnlabeledDataset
+        train_dir = val_dir = os.path.join(
+            root, "data", "scannet_train_detection_data")
+        meta = os.path.join(root, "data", "meta_data")
+        train_names = open(
+            os.path.join(meta, "scannetv2_train.txt")).read().split()
+        val_names = open(
+            os.path.join(meta, "scannetv2_val.txt")).read().split()
+        labeled_names = open(os.path.join(meta, "labeled.txt")).read().split()
+    else:
+        ref_ds_mod = load("sunrgbd.sunrgbd_detection_dataset")
+        ref_ssl_mod = load("sunrgbd.sunrgbd_ssl_dataset")
+        dc = load("sunrgbd.model_util_sunrgbd").SunrgbdDatasetConfig()
+        det_cls = ref_ds_mod.SunrgbdDetectionVotesDataset
+        lab_cls = ref_ssl_mod.SunrgbdSSLLabeledDataset
+        unl_cls = ref_ssl_mod.SunrgbdSSLUnlabeledDataset
+        base = os.path.join(root, "data")
+        train_dir = os.path.join(base, "sunrgbd_pc_bbox_votes_50k_v1_train")
+        val_dir = os.path.join(base, "sunrgbd_pc_bbox_votes_50k_v1_val")
+        train_names = sorted(
+            {f[:6] for f in os.listdir(train_dir) if f.endswith("_pc.npz")})
+        val_names = sorted(
+            {f[:6] for f in os.listdir(val_dir) if f.endswith("_pc.npz")})
+        labeled_names = open(os.path.join(
+            base, "sunrgbd_trainval", "labeled.txt")).read().split()
 
-    def det_ds(names, augment):
-        ds = ref_ds_mod.ScannetDetectionDataset.__new__(
-            ref_ds_mod.ScannetDetectionDataset)
-        ds.data_path = data_dir
+    def _mk(cls, data_path, names, augment, **extra):
+        ds = cls.__new__(cls)
+        ds.data_path = data_path
         ds.scan_names = list(names)
         ds.num_points = CONF["num_point"]
         ds.use_color = False
         ds.use_height = True
         ds.augment = augment
-        ds.remove_obj = False
+        for k, v in extra.items():
+            setattr(ds, k, v)
         return ds
+
+    def det_ds(names, augment, data_path=None):
+        extra = {"remove_obj": False} if dataset == "scannet" else {}
+        return _mk(det_cls, data_path or train_dir, names, augment, **extra)
 
     def ssl_labeled_ds():
-        ds = ref_ssl_mod.ScannetSSLLabeledDataset.__new__(
-            ref_ssl_mod.ScannetSSLLabeledDataset)
-        ds.data_path = data_dir
-        ds.scan_names = list(labeled_names)
-        ds.num_points = CONF["num_point"]
-        ds.use_color = False
-        ds.use_height = True
-        ds.augment = True
-        return ds
+        return _mk(lab_cls, train_dir, labeled_names, True)
 
     def ssl_unlabeled_ds():
-        ds = ref_ssl_mod.ScannetSSLUnlabeledDataset.__new__(
-            ref_ssl_mod.ScannetSSLUnlabeledDataset)
-        ds.data_path = data_dir
-        ds.scan_names = sorted(set(train_names) - set(labeled_names))
-        ds.num_points = CONF["num_point"]
-        ds.use_color = False
-        ds.use_height = True
-        ds.augment = True
-        ds.load_labels = False
-        return ds
+        return _mk(unl_cls, train_dir,
+                   sorted(set(train_names) - set(labeled_names)), True,
+                   load_labels=False)
 
     def make_net():
         return ref_v.VoteNet(
@@ -357,7 +439,7 @@ def run_reference(root):
         cd = {"dataset_config": dc, "unlabeled_batch_size": CONF["bu"],
               "nms_iou": 0.25, "use_old_type_nms": False, "use_lhs": True,
               "samecls_match": False, "view_stats": False,
-              "dataset": "scannet", "obj_threshold": 0.9,
+              "dataset": dataset, "obj_threshold": 0.9,
               "cls_threshold": 0.9, "iou_threshold": 0.25}
         rng = np.random.RandomState(2)
         global_step = 0
@@ -405,7 +487,7 @@ def run_reference(root):
     # ---- eval (3 modes), evaluate_one_epoch / evaluate_with_opt cores
     net.load_state_dict(torch.load(ssl_ckpt))
     net.eval()
-    vds = det_ds(val_names, augment=False)
+    vds = det_ds(val_names, augment=False, data_path=val_dir)
     results = {}
     for mode in ("plain", "iou_nms", "iou_nms_opt"):
         cd = {"remove_empty_box": False, "use_3d_nms": True, "nms_iou": 0.25,
@@ -497,7 +579,7 @@ def _ref_opt_eval(net, inputs, dc, opt_rate, opt_step):
 # report
 # --------------------------------------------------------------------------
 
-def report(root):
+def report(root, dataset="scannet"):
     ours = json.load(open(os.path.join(root, "ours", "metrics.json")))
     ref = json.load(open(os.path.join(root, "reference", "metrics.json")))
     lines = ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
@@ -518,14 +600,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["data", "ours", "reference", "report", "all"])
-    ap.add_argument("--root", default=os.path.join(REPO, "_parity_demo"))
+    ap.add_argument("--dataset", default="scannet",
+                    choices=["scannet", "sunrgbd"])
+    ap.add_argument("--root", default=None,
+                    help="state dir (default _parity_demo[_sunrgbd])")
     args = ap.parse_args()
+    if args.root is None:
+        suffix = "" if args.dataset == "scannet" else f"_{args.dataset}"
+        args.root = os.path.join(REPO, f"_parity_demo{suffix}")
     os.makedirs(args.root, exist_ok=True)
     phases = ([args.phase] if args.phase != "all"
               else ["data", "ours", "reference", "report"])
     for phase in phases:
         {"data": gen_data, "ours": run_ours, "reference": run_reference,
-         "report": report}[phase](args.root)
+         "report": report}[phase](args.root, args.dataset)
 
 
 if __name__ == "__main__":
