@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 
+from ..native.loader import compute_votes_native, percentile_native
 from .config import ScannetConfig
 from .pc_util import random_sampling, rotz
 
@@ -58,7 +59,9 @@ def _prep_cloud(mesh_vertices, use_color, use_height):
         pc = mesh_vertices[:, 0:6].copy()
         pc[:, 3:] = (pc[:, 3:] - MEAN_COLOR_RGB) / 256.0
     if use_height:
-        floor_height = np.percentile(pc[:, 2], 0.99)
+        floor_height = percentile_native(pc[:, 2], 0.99)
+        if floor_height is None:
+            floor_height = np.percentile(pc[:, 2], 0.99)
         height = pc[:, 2] - floor_height
         pc = np.concatenate([pc, np.expand_dims(height, 1)], 1)
     return pc
@@ -101,7 +104,14 @@ def _compute_votes(point_cloud, instance_labels, semantic_labels, num_points):
     the same float ops on the same elements, and the stable sort keeps each
     group's first element = the loop's ``ind[0]`` (first occurrence). The
     loop was the single largest cost of a scene load (6.1 of 14.6 ms at
-    40k points; this form is ~10x faster)."""
+    40k points; this form is ~10x faster). When the native C++ loader
+    kernel is available it runs the same computation in one O(N) pass
+    (native/loader_host.cc), still bit-identical."""
+    native = compute_votes_native(
+        point_cloud, instance_labels, semantic_labels, DC.nyu40ids)
+    if native is not None:
+        point_votes, point_votes_mask = native
+        return np.tile(point_votes, (1, 3)), point_votes_mask
     point_votes = np.zeros([num_points, 3])
     point_votes_mask = np.zeros(num_points)
     labels = instance_labels

@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 
+from ..native.loader import percentile_native
 from .config import SunrgbdConfig
 from .pc_util import random_sampling, rotz
 
@@ -35,7 +36,9 @@ def _prep_cloud(point_cloud, use_color, use_height):
         pc = point_cloud[:, 0:6].copy()
         pc[:, 3:] = pc[:, 3:] - MEAN_COLOR_RGB
     if use_height:
-        floor_height = np.percentile(pc[:, 2], 0.99)
+        floor_height = percentile_native(pc[:, 2], 0.99)
+        if floor_height is None:
+            floor_height = np.percentile(pc[:, 2], 0.99)
         height = pc[:, 2] - floor_height
         pc = np.concatenate([pc, np.expand_dims(height, 1)], 1)
     return pc
