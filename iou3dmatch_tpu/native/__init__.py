@@ -8,6 +8,7 @@ returns whichever is active.
 import ctypes
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
@@ -19,10 +20,20 @@ _load_failed = False
 
 
 def _build():
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True, capture_output=True,
-    )
+    # temp file + atomic rename: concurrent first-use from fork/spawn
+    # workers (eval pool, loader processes) must not observe a half-written
+    # .so.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load():
