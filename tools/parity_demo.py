@@ -52,6 +52,13 @@ CONF = dict(
     seed=0,
 )
 
+# Override any CONF key via e.g. PARITY_DEMO_CONF='{"pre_epochs": 40}' —
+# lets a wall-clock-constrained run shrink the schedule. The override is
+# recorded in the report so numbers are never silently mislabeled.
+_conf_env = os.environ.get("PARITY_DEMO_CONF")
+if _conf_env:
+    CONF.update(json.loads(_conf_env))
+
 
 # --------------------------------------------------------------------------
 # data
@@ -582,8 +589,11 @@ def _ref_opt_eval(net, inputs, dc, opt_rate, opt_step):
 def report(root, dataset="scannet"):
     ours = json.load(open(os.path.join(root, "ours", "metrics.json")))
     ref = json.load(open(os.path.join(root, "reference", "metrics.json")))
-    lines = ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
-             "|---|---|---|---|"]
+    lines = []
+    if _conf_env:
+        lines.append(f"(CONF overrides: {_conf_env})")
+    lines += ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
+              "|---|---|---|---|"]
     for mode in ("plain", "iou_nms", "iou_nms_opt"):
         for t in ("0.25", "0.5"):
             for metric in ("mAP", "AR"):
