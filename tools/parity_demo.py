@@ -196,7 +196,12 @@ def _gen_sunrgbd(root):
 def run_ours(root, dataset="scannet"):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # Default: force CPU (the image pins JAX_PLATFORMS=axon, a tunneled
+    # real TPU). PARITY_DEMO_OURS_PLATFORM=tpu leaves the ambient platform
+    # so long demo schedules run our side on the actual chip — the point of
+    # the framework — while the reference side stays torch-CPU.
+    if os.environ.get("PARITY_DEMO_OURS_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     data = os.path.join(root, "data")
     ours = os.path.join(root, "ours")
