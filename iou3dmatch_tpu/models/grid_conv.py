@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..geometry.boxes import rot_gpu
 from ..ops import group_points, three_nn
-from .mlp import BatchNorm, SharedMLP
+from .mlp import BatchNorm, SharedMLP, torch_default_dense
 
 GRID_SIZE = 4
 
@@ -50,9 +50,10 @@ class GridConv(nn.Module):
         out_dim = (
             3 + self.num_heading_bin * 2 + self.num_size_cluster * 3 + self.iou_size
         )
-        self.conv1_iou = nn.Dense(128)
-        self.conv2_iou = nn.Dense(128)
-        self.conv3_iou = nn.Dense(out_dim)
+        # bare-torch-layer init parity (grid_conv_module.py:42-44)
+        self.conv1_iou = torch_default_dense(128, 128)
+        self.conv2_iou = torch_default_dense(128, 128)
+        self.conv3_iou = torch_default_dense(out_dim, 128)
         self.bn1_iou = BatchNorm(128)
         self.bn2_iou = BatchNorm(128)
 

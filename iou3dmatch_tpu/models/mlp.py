@@ -114,3 +114,26 @@ class SharedMLP(nn.Module):
                 x = BatchNorm(f, name=f"bn{i}")(x, train=train, momentum=momentum)
             x = nn.relu(x)
         return x.astype(jnp.float32)
+
+
+def torch_default_dense(features, in_features, name=None, dtype=None):
+    """``nn.Dense`` with PyTorch's DEFAULT Conv1d/Linear initialization:
+    ``reset_parameters`` runs ``kaiming_uniform_(weight, a=sqrt(5))`` which
+    reduces to W ~ U(+-1/sqrt(fan_in)), and bias ~ U(+-1/sqrt(fan_in)).
+
+    The reference's bare torch head layers — voting conv1-3
+    (models/voting_module.py:32-34), proposal head conv1-3
+    (models/proposal_module.py:84-86) and the GridConv IoU head conv1-3
+    (models/grid_conv_module.py:42-44) — use exactly this, unlike the
+    pytorch_utils wrappers (kaiming_normal_ + zero bias) mirrored by
+    SharedMLP above. Init scale is part of the reference's training recipe;
+    flax's defaults (lecun_normal + zero bias) put ~1.7x more variance on
+    the head weights and none on the biases.
+    """
+    bound = 1.0 / (in_features ** 0.5)
+
+    def _uniform(key, shape, dtype_=jnp.float32):
+        return jax.random.uniform(key, shape, dtype_, -bound, bound)
+
+    return nn.Dense(features, kernel_init=_uniform, bias_init=_uniform,
+                    name=name, dtype=dtype)

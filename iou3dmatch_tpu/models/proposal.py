@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import furthest_point_sample
-from .mlp import BatchNorm
+from .mlp import BatchNorm, torch_default_dense
 from .pointnet2 import PointnetSAModuleVotes
 
 
@@ -46,9 +46,10 @@ class ProposalModule(nn.Module):
         out_dim = (
             2 + 3 + self.num_heading_bin * 2 + self.num_size_cluster * 4 + self.num_class
         )
-        self.conv1 = nn.Dense(128)
-        self.conv2 = nn.Dense(128)
-        self.conv3 = nn.Dense(out_dim)
+        # bare-torch-layer init parity (proposal_module.py:84-86)
+        self.conv1 = torch_default_dense(128, 128)
+        self.conv2 = torch_default_dense(128, 128)
+        self.conv3 = torch_default_dense(out_dim, 128)
         self.bn1 = BatchNorm(128)
         self.bn2 = BatchNorm(128)
 

@@ -6,7 +6,7 @@ producing per-seed xyz offsets and residual features. Channels-last.
 import jax
 from flax import linen as nn
 
-from .mlp import BatchNorm
+from .mlp import BatchNorm, torch_default_dense
 
 
 class VotingModule(nn.Module):
@@ -19,11 +19,13 @@ class VotingModule(nn.Module):
         (vote_xyz (B, num_seed*vf, 3), vote_features (B, num_seed*vf, C))."""
         b, num_seed, _ = seed_xyz.shape
         c = self.seed_feature_dim
-        net = nn.Dense(c, name="conv1")(seed_features)
+        # bare-torch-layer init parity: voting_module.py:32-34 uses torch
+        # Conv1d DEFAULT init (see mlp.torch_default_dense)
+        net = torch_default_dense(c, c, name="conv1")(seed_features)
         net = nn.relu(BatchNorm(c, name="bn1")(net, train=train, momentum=momentum))
-        net = nn.Dense(c, name="conv2")(net)
+        net = torch_default_dense(c, c, name="conv2")(net)
         net = nn.relu(BatchNorm(c, name="bn2")(net, train=train, momentum=momentum))
-        net = nn.Dense((3 + c) * self.vote_factor, name="conv3")(net)
+        net = torch_default_dense((3 + c) * self.vote_factor, c, name="conv3")(net)
 
         net = net.reshape(b, num_seed, self.vote_factor, 3 + c)
         offset = net[:, :, :, 0:3]

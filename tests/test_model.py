@@ -320,3 +320,79 @@ def test_fps_prefix_shortcut_is_exact():
     for k in out_exact:
         np.testing.assert_array_equal(
             np.asarray(out_fast[k]), np.asarray(out_exact[k]), err_msg=k)
+
+
+def test_head_init_matches_torch_defaults():
+    """The bare torch head layers (voting_module.py:32-34,
+    proposal_module.py:84-86, grid_conv_module.py:42-44) carry PyTorch's
+    DEFAULT Conv1d init: W, b ~ U(+-1/sqrt(fan_in)). Flax defaults
+    (lecun_normal + zero bias) train measurably slower on the demo task —
+    init scale is part of the reference recipe, so pin it."""
+    model, cfg = build_votenet("scannet")
+    pc = jnp.zeros((1, 512, 4), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pc, train=False)
+    params = variables["params"]
+
+    def leaf(path):
+        p = params
+        for k in path:
+            p = p[k]
+        return p
+
+    for path, fan_in in [
+        (("vgen", "conv1"), 256), (("vgen", "conv3"), 256),
+        (("pnet", "conv1"), 128), (("pnet", "conv3"), 128),
+        (("grid_conv", "conv1_iou"), 128), (("grid_conv", "conv3_iou"), 128),
+    ]:
+        bound = 1.0 / np.sqrt(fan_in)
+        for leaf_name in ("kernel", "bias"):
+            w = np.asarray(leaf(path)[leaf_name])
+            assert np.abs(w).max() <= bound + 1e-7, (path, leaf_name)
+            # uniform(+-bound) std = bound/sqrt(3); zero-init or normal
+            # would miss this band
+            assert 0.4 * bound < w.std() < 0.75 * bound, (
+                path, leaf_name, w.std(), bound)
+
+
+def test_fresh_init_overfits_small_batch():
+    """Trainability canary: a fresh model + the real pretrain step must cut
+    the supervised loss substantially when overfitting one tiny batch (the
+    parity demo exposed a config where long-horizon training stalled even
+    though 5-step trajectory diffs passed)."""
+    from iou3dmatch_tpu.train import create_train_state
+    from iou3dmatch_tpu.train.steps import make_pretrain_step
+
+    model, cfg = build_votenet("scannet", tiny=True)
+    rng = np.random.RandomState(0)
+    n, n_gt = 256, 4
+    center = rng.uniform(-1.5, 1.5, (B, n_gt, 3)).astype(np.float32)
+    pts = []
+    votes = []
+    for b in range(B):
+        gid = rng.randint(0, n_gt, n)
+        p = center[b][gid] + rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+        pts.append(np.concatenate([p, rng.rand(n, 1).astype(np.float32)], 1))
+        votes.append(np.tile(center[b][gid] - p, (1, 3)))
+    batch = {
+        "point_clouds": jnp.asarray(np.stack(pts)),
+        "center_label": jnp.asarray(center),
+        "box_label_mask": jnp.ones((B, n_gt), jnp.float32),
+        "heading_class_label": jnp.zeros((B, n_gt), jnp.int32),
+        "heading_residual_label": jnp.zeros((B, n_gt), jnp.float32),
+        "size_class_label": jnp.asarray(rng.randint(0, cfg.num_size_cluster, (B, n_gt))),
+        "size_residual_label": jnp.zeros((B, n_gt, 3), jnp.float32),
+        "sem_cls_label": jnp.asarray(rng.randint(0, cfg.num_class, (B, n_gt))),
+        "vote_label": jnp.asarray(np.stack(votes).astype(np.float32)),
+        "vote_label_mask": jnp.ones((B, n), jnp.int32),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(3), batch, with_ema=False)
+    step = make_pretrain_step(model, cfg)
+    rngk = jax.random.PRNGKey(5)
+    losses = []
+    for i in range(50):
+        rngk, sub = jax.random.split(rngk)
+        state, metrics = step(state, batch, sub, 1e-3, 0.1)
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert last < 0.7 * first, (first, last, losses[::10])

@@ -599,12 +599,30 @@ def report(root, dataset="scannet"):
         lines.append(f"(CONF overrides: {_conf_env})")
     lines += ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
               "|---|---|---|---|"]
+    import math
+
+    def robust_map(re, oe):
+        """Mean AP over classes BOTH sides can score. The reference's
+        eval_det divides 0/0 for classes predicted but absent from the GT
+        (utils/eval_det.py:135 → nan poisons its mean); ours skips them
+        (eval/eval_det.py npos==0 guard). Comparable mean = classes with a
+        finite reference AP that ours also scored."""
+        cls = [c for c, v in re["per_class_ap"].items()
+               if math.isfinite(v) and c in oe["per_class_ap"]]
+        if not cls:
+            return float("nan"), float("nan"), 0
+        return (sum(re["per_class_ap"][c] for c in cls) / len(cls),
+                sum(oe["per_class_ap"][c] for c in cls) / len(cls), len(cls))
+
     for mode in ("plain", "iou_nms", "iou_nms_opt"):
         for t in ("0.25", "0.5"):
             for metric in ("mAP", "AR"):
                 r = ref[mode][t][metric]
                 o = ours[mode][t][metric]
                 lines.append(f"| {mode} | {metric}@{t} | {r:.4f} | {o:.4f} |")
+            rm, om, ncls = robust_map(ref[mode][t], ours[mode][t])
+            lines.append(
+                f"| {mode} | mAP@{t} (shared {ncls} cls) | {rm:.4f} | {om:.4f} |")
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(root, "report.md"), "w") as f:
