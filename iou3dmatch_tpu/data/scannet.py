@@ -107,6 +107,10 @@ def _compute_votes(point_cloud, instance_labels, semantic_labels, num_points):
     40k points; this form is ~10x faster). When the native C++ loader
     kernel is available it runs the same computation in one O(N) pass
     (native/loader_host.cc), still bit-identical."""
+    # the native kernel sizes outputs by len(point_cloud); the fallback
+    # below sizes by num_points — keep them interchangeable
+    assert point_cloud.shape[0] == num_points, (
+        point_cloud.shape[0], num_points)
     native = compute_votes_native(
         point_cloud, instance_labels, semantic_labels, DC.nyu40ids)
     if native is not None:

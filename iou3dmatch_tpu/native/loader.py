@@ -71,9 +71,38 @@ def load():
             fn.argtypes = [p, ctypes.c_int64, ctypes.c_int64,
                            ctypes.c_int64, p]
         _lib = lib
+        if not _percentile_self_check():
+            # percentile_native mirrors NumPy's PRIVATE quantile internals
+            # (float32 virtual-index/gamma dtype, two-branch lerp); a NumPy
+            # upgrade could silently change them. Byte-compare on fixed
+            # vectors once per process and fall back to NumPy on mismatch
+            # so dataset bit-parity never rests on a stale mirror.
+            _lib = None
+            _load_failed = True
     except Exception:
         _load_failed = True
     return _lib
+
+
+def _percentile_self_check() -> bool:
+    """Byte-compare percentile_native vs np.percentile at the ONE quantile
+    production uses (q=0.99, the reference's floor-height percentile,
+    scannet_detection_dataset.py:127 / sunrgbd_detection_dataset.py:119).
+    The mirror's bit guarantee is scoped to that q — other quantiles can
+    legitimately differ in the virtual-index rounding path."""
+    rng = np.random.RandomState(20260819)
+    for dtype in (np.float32, np.float64):
+        for n in (7, 100, 4096, 40000):
+            z = (rng.randn(n) * 3 + 1).astype(dtype)
+            z = np.where(z == 0, dtype(0.125), z)  # avoid the ±0 defer path
+            ours = percentile_native(z, 0.99)
+            if ours is None:
+                return False
+            ref = np.percentile(z, 0.99)
+            if (np.asarray(ours).dtype != np.asarray(ref).dtype
+                    or np.asarray(ours).tobytes() != np.asarray(ref).tobytes()):
+                return False
+    return True
 
 
 def compute_votes_native(point_cloud, instance_labels, semantic_labels,

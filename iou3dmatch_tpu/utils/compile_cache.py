@@ -10,22 +10,38 @@ import os
 
 
 def _host_cpu_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags.
+    """Short stable hash of this host's CPU identity + feature flags.
 
     XLA:CPU's persistent cache stores AOT-compiled machine code keyed
     WITHOUT the target machine features; an entry compiled on a host with
-    a different ISA loads with an 'could lead to SIGILL' error. Keying the
-    CPU cache directory on the host's own flags makes entries non-portable
+    a different ISA loads with a 'could lead to SIGILL' error. Keying the
+    CPU cache directory on the host's identity makes entries non-portable
     by construction instead of crash-prone by accident.
+
+    The key must include vendor/family/model/stepping and the model name,
+    not just the ``flags`` line: LLVM derives tuning pseudo-features
+    (``+prefer-no-gather``/``+prefer-no-scatter``, the exact mismatch XLA
+    logged in round 2) from the CPUID-detected microarchitecture, so two
+    hosts with identical flag sets can still compile incompatible AOT
+    entries.
     """
+    keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
+            "flags")
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                k, _, v = line.partition(":")
+                k = k.strip()
+                if k in keys and not any(p.startswith(k + "=") for p in parts):
+                    val = v.strip()
+                    if k == "flags":
+                        val = " ".join(sorted(val.split()))
+                    parts.append(f"{k}={val}")
     except OSError:
         pass
+    if parts:
+        return hashlib.sha256("|".join(sorted(parts)).encode()).hexdigest()[:12]
     import platform
 
     return platform.machine() or "unknown"
@@ -42,6 +58,15 @@ def enable_compilation_cache() -> None:
     )
     platforms = (getattr(jax.config, "jax_platforms", None)
                  or os.environ.get("JAX_PLATFORMS", ""))
+    if not platforms:
+        # neither the config nor the env pins a platform: XLA:CPU may still
+        # be selected by default, and an unkeyed dir would re-expose the
+        # SIGILL hazard — resolve the actual backend (initializes jax, which
+        # is fine: callers invoke this right before compiling anyway)
+        try:
+            platforms = jax.default_backend()
+        except Exception:
+            platforms = ""
     if "cpu" in platforms.lower():
         cache_dir = os.path.join(cache_dir, "cpu-" + _host_cpu_fingerprint())
     try:

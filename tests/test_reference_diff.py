@@ -555,8 +555,25 @@ def test_get_unlabeled_loss_matches_reference(view_stats):
 
     # derive thresholds from the teacher's own output quantiles so an
     # untrained model passes a NON-TRIVIAL subset (fixed reference values
-    # would pass all or nothing here); both sides receive the same numbers
+    # would pass all or nothing here); both sides receive the same numbers.
+    # IMPORTANT: a raw np.quantile lands ON (or within interpolation-ulp of)
+    # an order statistic, and jax-f32 vs torch-f32 softmax differ by ~1 ulp
+    # (~3e-8) — a sample sitting AT the threshold then flips the pick set
+    # between the two sides (observed: pos_obj 0.48825145 vs 0.48825142
+    # straddling a quantile threshold). Snap each threshold to the midpoint
+    # of a wide gap between adjacent order statistics near the quantile so
+    # every sample clears it by >> softmax ulp noise (PARITY.md "pseudo-label
+    # pick-set contract").
     import scipy.special as sp
+
+    def _safe_threshold(values, q, min_gap=1e-4):
+        v = np.sort(np.asarray(values, np.float64).ravel())
+        i = int(np.clip(np.searchsorted(v, np.quantile(v, q)), 1, v.size - 1))
+        for off in range(v.size):
+            for j in (i - off, i + off):
+                if 1 <= j < v.size and v[j] - v[j - 1] >= min_gap:
+                    return float((v[j] + v[j - 1]) / 2)
+        return float(np.quantile(v, q))  # pragma: no cover (degenerate data)
 
     pos_obj = sp.softmax(ema_ep["objectness_scores"][bl:], axis=2)[..., 1]
     cls_probs = sp.softmax(ema_ep["sem_cls_scores"][bl:], axis=2)
@@ -564,9 +581,9 @@ def test_get_unlabeled_loss_matches_reference(view_stats):
     argmax_cls = cls_probs.argmax(-1)
     iou_at_cls = 1.0 / (1.0 + np.exp(-np.take_along_axis(
         ema_ep["iou_scores"][bl:], argmax_cls[..., None], axis=2)[..., 0]))
-    thresholds = dict(obj_threshold=float(np.quantile(pos_obj, 0.3)),
-                      cls_threshold=float(np.quantile(max_cls, 0.3)),
-                      iou_threshold=float(np.quantile(iou_at_cls, 0.2)))
+    thresholds = dict(obj_threshold=_safe_threshold(pos_obj, 0.3),
+                      cls_threshold=_safe_threshold(max_cls, 0.3),
+                      iou_threshold=_safe_threshold(iou_at_cls, 0.2))
 
     end_points = _torch_end_points(ep, batch)
     end_points["supervised_mask"] = torch.cat(
