@@ -65,8 +65,18 @@ class GridConv(nn.Module):
         (reference semantics, grid_conv_module.py:89-104); the weighted
         3-neighbor feature sum collapses into ONE (q, m) x (m, C) matmul with
         the sparse weight matrix built inline.
+
+        f32 mode (``self.dtype`` is None): the dots run at
+        ``Precision.HIGHEST`` (6-pass bf16 decomposition). A one-hot row is
+        exactly representable in bf16 and the 6-pass sum covers every
+        (mask-split x table-split) cross term, so the xyz "gather" dot
+        reproduces the f32 table rows EXACTLY; the weighted feature dot is
+        f32-accurate (summation order differs from a sequential 3-term
+        gather-sum by last-ulp only). ~6 ms/step cheaper than the 590k-row
+        packed f32 gather it replaces (VERDICT r2 #4).
         """
-        dt = self.dtype
+        dt = self.dtype or jnp.float32
+        prec = None if self.dtype is not None else jax.lax.Precision.HIGHEST
         m = origin_xyz.shape[1]
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
         xyz_t = origin_xyz.astype(dt)
@@ -78,7 +88,7 @@ class GridConv(nn.Module):
         for k in range(3):
             pts_k = jax.lax.dot_general(
                 masks[k], xyz_t, dimension_numbers=dots,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )  # (B, q, 3)
             diff = pts_k - flat_grid
             dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
@@ -90,7 +100,7 @@ class GridConv(nn.Module):
         )  # (B, q, m) sparse interpolation matrix
         return jax.lax.dot_general(
             w3, origin_features.astype(dt), dimension_numbers=dots,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt)
 
     def __call__(
@@ -138,16 +148,11 @@ class GridConv(nn.Module):
         # autograd (grid_conv_module.py:89-92) — that differentiable
         # grid->dist->weight path is what lets test-time IoU optimization
         # move the box center.
-        if fast:
-            # Low-precision fast path: the seed table is tiny (m=1024 rows),
-            # so the 3x(B*K*64)-row gather — a row-rate-bound op, ~6 ms/step
-            # at train shapes — becomes two one-hot matmuls on the MXU. The
-            # one-hot masks are cheap elementwise producers XLA fuses into
-            # the dot operands (never materialized in HBM).
-            interp = self._interp_onehot(flat_grid, origin_xyz, origin_features, idx)
-        else:
-            # one packed gather for seed xyz + features (row-rate-bound op);
-            # exact f32 interpolation for parity mode
+        import os
+
+        if os.environ.get("IOU3DMATCH_GRIDCONV_GATHER"):
+            # escape-hatch reference form: one packed gather for seed xyz +
+            # features (row-rate-bound), sequential 3-term weighted sum
             packed = jnp.concatenate([origin_xyz, origin_features], axis=-1)
             grouped_all = group_points(packed, idx)  # (B, K*64, 3, 3+C)
             interp_pts = grouped_all[..., :3]
@@ -157,6 +162,15 @@ class GridConv(nn.Module):
             weight = weight / jnp.sum(weight, axis=2, keepdims=True)
             gathered = grouped_all[..., 3:]  # (B, K*64, 3, C)
             interp = jnp.sum(gathered * weight[..., None], axis=2)  # (B, K*64, C)
+        else:
+            # The seed table is tiny (m=1024 rows), so the 3x(B*K*64)-row
+            # gather — a row-rate-bound op, ~6 ms/step at train shapes —
+            # becomes two one-hot matmuls on the MXU. The one-hot masks are
+            # cheap elementwise producers XLA fuses into the dot operands
+            # (never materialized in HBM). bf16 path: MXU DEFAULT precision;
+            # f32 path: HIGHEST (exact row reconstruction — see
+            # _interp_onehot).
+            interp = self._interp_onehot(flat_grid, origin_xyz, origin_features, idx)
 
         # relative grid coords in world orientation (grid - center),
         # matching grid_conv_module.py:94

@@ -28,11 +28,12 @@ def three_nn(unknown: jax.Array, known: jax.Array, exact: bool = True):
     scan) is a handful of VPU passes instead.
 
     ``exact=False`` uses ``approx_min_k`` (TPU partial reduction with the
-    distance matmul fused in — the (n, m) matrix never reaches HBM; the
-    exact path writes it once and re-reads it three times, ~800 MB/model at
-    GridConv train shapes). The returned neighbors are near-minimal rather
-    than guaranteed-minimal (recall ~0.95 per row); use for interpolation
-    queries, keep ``exact=True`` for CUDA-parity semantics.
+    distance matmul fused in — the (n, m) matrix never reaches HBM). The
+    exact path now also keeps d2 out of HBM: it is built elementwise
+    (CUDA's direct (u-k)^2 form) and recomputed inside each fused argmin
+    pass. approx neighbors are near-minimal rather than guaranteed-minimal
+    (recall ~0.95 per row); use for interpolation queries, keep
+    ``exact=True`` for CUDA-parity semantics.
     """
     if not exact:
         return _three_nn_approx(unknown, known)
@@ -40,27 +41,28 @@ def three_nn(unknown: jax.Array, known: jax.Array, exact: bool = True):
     known = known.astype(jnp.float32)
 
     def per_scene(u, k):
-        # |u - k|^2 = |u|^2 + |k|^2 - 2 u.k; cross term on the MXU.
-        cross = jax.lax.dot_general(
-            u, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (n, m)
-        d2 = (
-            jnp.sum(u * u, axis=-1)[:, None]
-            + jnp.sum(k * k, axis=-1)[None, :]
-            - 2.0 * cross
-        )
-        d2 = jnp.maximum(d2, 0.0)  # guard tiny negatives from fp cancellation
-        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        # d2 built ELEMENTWISE — the CUDA kernel's direct (u-k)^2 sum
+        # (interpolate_gpu.cu:14-74), bit-matching its f32 rounding — and
+        # recomputed per argmin pass: an elementwise producer fuses into the
+        # reduce, so the (n, m) matrix never reaches HBM (the earlier
+        # matmul-identity form wrote it once and re-read it 3x, ~800 MB/model
+        # at GridConv train shapes, plus needed a cancellation guard).
+        col = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], k.shape[0]), 1)
+
+        def d2_masked(prev):
+            diff = u[:, None, :] - k[None, :, :]  # (n, m, 3) virtual
+            d2 = jnp.sum(diff * diff, axis=-1)
+            for i in prev:
+                d2 = jnp.where(col == i[:, None], jnp.inf, d2)
+            return d2
+
         idxs = []
         for _ in range(3):
-            i = jnp.argmin(d2, axis=1).astype(jnp.int32)  # first occurrence
+            # first occurrence on ties, like the CUDA in-order scan
+            i = jnp.argmin(d2_masked(idxs), axis=1).astype(jnp.int32)
             idxs.append(i)
-            d2 = jnp.where(col == i[:, None], jnp.inf, d2)
         idx = jnp.stack(idxs, axis=1)  # (n, 3)
-        # Exact distances for the 3 selected neighbors (the matmul form has
-        # fp cancellation; the CUDA kernel computes (u-k)^2 directly).
+        # Exact distances for the 3 selected neighbors.
         sel = k[idx]  # (n, 3, 3)
         d_exact = jnp.sum((u[:, None, :] - sel) ** 2, axis=-1)
         return jnp.sqrt(d_exact), idx
