@@ -170,7 +170,14 @@ def main(argv=None):
         logger(f"**** EPOCH {epoch:03d} ****  lr {lr:.6f}  bn_momentum {bn_mom:.4f}")
         averager = MetricAverager()
         t0 = time.time()
-        for bi, batch in enumerate(prefetch(iter(train_loader))):
+        # load+pack in one thread, single-put stage in a second (see
+        # data/staging.py; the reference does one .to(device) per tensor,
+        # pretrain.py:317-318)
+        from ..data.staging import pack_batch, stage
+
+        batch_iter = prefetch(map(stage, prefetch(
+            map(pack_batch, iter(train_loader)))))
+        for bi, batch in enumerate(batch_iter):
             if args.profile_steps and epoch == start_epoch and bi == 1:
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)

@@ -212,7 +212,18 @@ def main(argv=None):
         logger(f"**** EPOCH {epoch:03d} ****  lr {lr:.6f}  bn_momentum {bn_mom:.4f}")
         averager = MetricAverager()
         t0 = time.time()
-        for bi, batch in enumerate(prefetch(iter(ssl_loader))):
+        if mesh is None:
+            # Two-stage pipeline: thread A loads+packs the batch into one
+            # int32 word buffer, thread B ships it as a SINGLE device_put
+            # (vs one per leaf — the reference does one .to(device) per
+            # tensor, pretrain.py:317-318) while the device runs step i.
+            from ..data.staging import pack_batch, stage
+
+            batch_iter = prefetch(map(stage, prefetch(
+                map(pack_batch, iter(ssl_loader)))))
+        else:
+            batch_iter = prefetch(iter(ssl_loader))
+        for bi, batch in enumerate(batch_iter):
             if args.profile_steps and epoch == start_epoch and bi == 1:
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             rng, step_rng = jax.random.split(rng)

@@ -40,8 +40,9 @@ def make_fake_scans(root, n_scans, verts_per_scan=50000, seed=0):
         sem = np.zeros(n, np.int64)
         n_inst = 12
         bbox = np.zeros((n_inst, 7))
+        stride = max(2, n // n_inst)  # scale layout to small --verts too
         for i in range(n_inst):
-            lo, hi = 1500 * i, 1500 * i + 1200
+            lo, hi = stride * i, stride * i + max(1, int(stride * 0.8))
             c = rng.uniform(-3, 3, 3)
             ext = rng.uniform(0.3, 1.2, 3)
             verts[lo:hi, :3] = c + rng.uniform(-0.5, 0.5, (hi - lo, 3)) * ext

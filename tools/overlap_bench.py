@@ -6,22 +6,27 @@ jitted SSL train step on the actual TPU, and measures
 
   * t_load : host-only s/step (loader alone, prefetched)
   * t_dev  : device-only s/step (one staged batch, like bench.py)
-  * t_both : the combined pipeline's s/step
+  * t_link : host→device transfer-only s/step of the real packed batch
+             (one device_put per step; see data/staging.py)
+  * t_both : the combined pipeline's s/step (the production driver
+             pipeline: load+pack thread → single-put staging thread →
+             step dispatch)
 
-Perfect overlap means t_both ~= max(t_load, t_dev) (the pipeline hides the
-smaller leg entirely); no overlap means t_load + t_dev. Reported:
+Perfect overlap means t_both ~= max(t_load, t_link, t_dev) (the pipeline
+hides the cheaper legs entirely); no overlap means their sum. Reported:
 
-  overlap_fraction     = (t_load + t_dev - t_both) / min(t_load, t_dev)
-                         (1.0 = the cheaper leg fully hidden)
+  overlap_fraction     = (sum - t_both) / (sum - max leg)
+                         (1.0 = all hideable time hidden)
   device_idle_fraction = 1 - t_dev / t_both
                          (0.0 = the chip never waits on the host)
 
-On this 1-core dev container the host can sustain ~76 scenes/s of real
-__getitem__ work (PERF.md loader table), which covers the f32
-reference-exact step (~90 scenes/s needs ~1.2 cores; at measured overlap
-the chip idles only while the host falls short) and documents the honest
-single-core floor for the ~170 scenes/s bf16 step (needs ~2.5 cores — a
-real TPU host VM has dozens).
+Dev-container caveats, both orthogonal to the framework: the container has
+ONE host core (a real TPU host VM has dozens — scale t_load accordingly),
+and the tunneled device link moves ~25 MB/s with ~27 ms RTT (a real host
+feeds TPUs over PCIe at GB/s — t_link there is < 2 ms for the full 40k
+batch). t_link quantifies the tunnel leg explicitly so the 40k-point
+result can be read honestly; at reduced scene size the tunnel can keep up
+and true three-way overlap is demonstrable in this container.
 
 Run: python tools/overlap_bench.py [--steps 12] [--dtype bfloat16|float32]
      [--verts 50000] [--points 40000]
@@ -83,7 +88,9 @@ def main():
             root, meta, "labeled.txt", num_points=args.points, augment=True,
             use_height=True)
 
-        def make_iter():
+        from iou3dmatch_tpu.data.staging import pack_batch, stage
+
+        def make_iter(packed=False):
             lab = DataLoader(labeled_ds, args.bl, shuffle=True,
                              drop_last=True, num_workers=0,
                              worker_type="thread", seed=0)
@@ -96,7 +103,8 @@ def main():
                 while True:
                     yield from batcher
 
-            return prefetch(cycle(), size=2)
+            src = map(pack_batch, cycle()) if packed else cycle()
+            return prefetch(src, size=2)
 
         scenes = args.bl + args.bu
 
@@ -138,22 +146,42 @@ def main():
         sync(state)
         t_dev = (time.perf_counter() - t0) / args.steps
 
-        # ---- combined pipeline: prefetch thread loads scene i+1 while the
-        # device runs step i (async dispatch; sync only at the end)
-        state, _ = step(state, {k: jnp.asarray(v) for k, v in next(it).items()
-                                if hasattr(v, "shape")},
-                        jax.random.fold_in(key, 999), 2e-3, 0.5)
+        # ---- link-only rate: steady-state host→device transfer of the real
+        # packed batch (ONE device_put per step, blocking only at the end).
+        # On the tunneled dev platform this is the binding constraint at
+        # full scene size; on a real TPU host VM the same bytes ride PCIe.
+        packed = pack_batch(batch_np)
+        batch_bytes = packed[0].nbytes + sum(
+            np.asarray(v).nbytes for v in packed[2].values()
+            if hasattr(v, "shape"))
+        xs = []
+        stage(packed)  # warm the unpack program
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            xs.append(stage(packed))
+        jax.block_until_ready(xs)
+        t_link = (time.perf_counter() - t0) / args.steps
+        del xs
+
+        # ---- combined pipeline: thread A loads+packs batch i+1, thread B
+        # single-put stages it, while the device runs step i (the production
+        # driver pipeline, cli/train.py); sync only at the end
+        it = prefetch(map(stage, make_iter(packed=True)), size=2)
+        state, _ = step(state, next(it), jax.random.fold_in(key, 999),
+                        2e-3, 0.5)
         sync(state)
         t0 = time.perf_counter()
         for i in range(args.steps):
-            b = next(it)
-            b = {k: jnp.asarray(v) for k, v in b.items() if hasattr(v, "shape")}
-            state, _ = step(state, b, jax.random.fold_in(key, 200 + i),
+            state, _ = step(state, next(it), jax.random.fold_in(key, 200 + i),
                             2e-3, 0.5)
         sync(state)
         t_both = (time.perf_counter() - t0) / args.steps
 
-    overlap = (t_load + t_dev - t_both) / max(min(t_load, t_dev), 1e-9)
+    # how much of the serial sum the pipeline hid, relative to the most it
+    # could hide (the cheaper legs)
+    serial = t_load + t_link + t_dev
+    hideable = serial - max(t_load, t_link, t_dev)
+    overlap = (serial - t_both) / max(hideable, 1e-9)
     idle = max(0.0, 1.0 - t_dev / t_both)
     print(json.dumps({
         "metric": "ssl_loader_device_overlap",
@@ -162,12 +190,16 @@ def main():
         "points": args.points,
         "verts": args.verts,
         "batch": [args.bl, args.bu],
+        "batch_mb": round(batch_bytes / 1e6, 2),
         "host_scenes_per_sec": round(scenes / t_load, 1),
         "device_scenes_per_sec": round(scenes / t_dev, 1),
+        "link_scenes_per_sec": round(scenes / t_link, 1),
         "combined_scenes_per_sec": round(scenes / t_both, 1),
         "t_load_ms": round(t_load * 1e3, 1),
         "t_dev_ms": round(t_dev * 1e3, 1),
+        "t_link_ms": round(t_link * 1e3, 1),
         "t_both_ms": round(t_both * 1e3, 1),
+        "link_mb_per_s": round(batch_bytes / t_link / 1e6, 1),
         "overlap_fraction": round(overlap, 3),
         "device_idle_fraction": round(idle, 3),
         "cores": os.cpu_count(),
