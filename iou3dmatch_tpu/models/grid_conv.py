@@ -130,8 +130,13 @@ class GridConv(nn.Module):
         # relative grid (pre-rotation, box frame): offsets * half-extents
         rel = offsets[None, None, :, :] * size[:, :, None, :]  # (B, K, 64, 3)
         rot = rot_gpu(heading)  # (B, K, 3, 3); grid @ rot^T rotates CCW
+        # grid @ R^T == contract rel's last axis against rot's LAST axis
+        # (grid_conv_module.py:77-78 `bmm(grid, rot_mat.transpose(1, 2))`).
+        # A transposed-operand einsum here once rotated by -heading instead
+        # (invisible at scannet's heading==0; caught by the sunrgbd
+        # 12-heading-bin differential test).
         grid = jnp.einsum(
-            "bkgc,bkdc->bkgd", rel, jnp.swapaxes(rot, -1, -2),
+            "bkgc,bkdc->bkgd", rel, rot,
             precision=jax.lax.Precision.HIGHEST,
         )
         grid = grid + center[:, :, None, :]  # (B, K, 64, 3) world frame

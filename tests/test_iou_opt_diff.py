@@ -27,28 +27,33 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_iou_optimize_matches_evaluate_with_opt():
+@pytest.mark.parametrize("dataset", ["scannet", "sunrgbd"])
+def test_iou_optimize_matches_evaluate_with_opt(dataset):
+    # sunrgbd exercises the 12-heading-bin path: nonzero heading rotates the
+    # GridConv grid every ascent step (scannet's single bin pins heading ~0)
     import jax
     import jax.numpy as jnp
     import torch
 
     install_pointnet2_shim()
     ref_v = load("models.votenet_iou_branch")
-    ref_sc = load("scannet.model_util_scannet")
     from tests.test_full_model_diff import _transplant
     from iou3dmatch_tpu.models.factory import build_votenet
     from iou3dmatch_tpu.eval.iou_opt import iou_optimize
 
     opt_rate, opt_step = 5e-4, 5  # train.py:69 default rate
     n_proposal = 64
-    dc = ref_sc.ScannetDatasetConfig()
+    if dataset == "scannet":
+        dc = load("scannet.model_util_scannet").ScannetDatasetConfig()
+    else:
+        dc = load("sunrgbd.model_util_sunrgbd").SunrgbdDatasetConfig()
     ref_net = ref_v.VoteNet(
         num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
         input_feature_dim=1, num_proposal=n_proposal, sampling="seed_fps",
         dataset_config=dc)
     ref_net.eval()
-    model, _ = build_votenet("scannet", num_proposal=n_proposal)
+    model, _ = build_votenet(dataset, num_proposal=n_proposal)
 
     rng = np.random.RandomState(19)
     pc = np.zeros((1, 2048, 4), np.float32)
