@@ -83,18 +83,25 @@ def _transplant(variables, ref_net):
     return written
 
 
-@pytest.mark.parametrize("sampling", ["seed_fps", "vote_fps"])
-def test_full_votenet_forward_matches_reference(sampling):
+@pytest.mark.parametrize("dataset,sampling", [
+    ("scannet", "seed_fps"),
+    ("scannet", "vote_fps"),
+    # 12 heading bins: nonzero decoded headings rotate the GridConv grid
+    ("sunrgbd", "seed_fps"),
+])
+def test_full_votenet_forward_matches_reference(dataset, sampling):
     import jax
     import jax.numpy as jnp
     import torch
 
     install_pointnet2_shim()
     ref_v = load("models.votenet_iou_branch")
-    ref_sc = load("scannet.model_util_scannet")
     from iou3dmatch_tpu.models.factory import build_votenet
 
-    dc = ref_sc.ScannetDatasetConfig()
+    if dataset == "scannet":
+        dc = load("scannet.model_util_scannet").ScannetDatasetConfig()
+    else:
+        dc = load("sunrgbd.model_util_sunrgbd").SunrgbdDatasetConfig()
     ref_net = ref_v.VoteNet(
         num_class=dc.num_class, num_heading_bin=dc.num_heading_bin,
         num_size_cluster=dc.num_size_cluster, mean_size_arr=dc.mean_size_arr,
@@ -102,7 +109,7 @@ def test_full_votenet_forward_matches_reference(sampling):
         dataset_config=dc)
     ref_net.eval()
 
-    model, _ = build_votenet("scannet", sampling=sampling)
+    model, _ = build_votenet(dataset, sampling=sampling)
     rng = np.random.RandomState(3)
     pc = np.zeros((1, 4096, 4), np.float32)
     pc[..., 0:3] = rng.uniform(-3.0, 3.0, (1, 4096, 3))
@@ -168,13 +175,19 @@ def test_full_votenet_forward_matches_reference(sampling):
     if sampling != "seed_fps":
         return
     # test-time IoU-optimization path: re-run ONLY the GridConv branch on
-    # perturbed boxes (forward_onlyiou_faster, votenet_iou_branch.py:183-185)
+    # perturbed boxes (forward_onlyiou_faster, votenet_iou_branch.py:183-185).
+    # Headings get a strong synthetic offset: decoded headings at random
+    # init cluster near 0 / +-pi, where R(h) ~ R(-h) masks grid-rotation
+    # sign errors (one shipped until the sunrgbd IoU-opt diff caught it) —
+    # mid-quadrant angles make the rotated-grid comparison discriminating.
     rng2 = np.random.RandomState(11)
     center = np.asarray(ep["center"], np.float32) + \
         rng2.randn(1, 128, 3).astype(np.float32) * 0.05
     size = np.abs(np.asarray(ep["size"], np.float32) *
                   (1.0 + rng2.randn(1, 128, 3).astype(np.float32) * 0.1)) + 1e-6
-    heading = np.asarray(ep["heading"], np.float32)
+    heading = (np.asarray(ep["heading"], np.float32)
+               + rng2.uniform(0.4, 1.2, (1, 128)).astype(np.float32)
+               * rng2.choice([-1.0, 1.0], (1, 128)).astype(np.float32))
     with torch.no_grad():
         ref_iou_ep = ref_net.forward_onlyiou_faster(
             dict(ref_ep), torch.from_numpy(center), torch.from_numpy(size),
