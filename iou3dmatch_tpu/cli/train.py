@@ -170,10 +170,23 @@ def main(argv=None):
         state, start_epoch, _ = checkpoint.load(ckpt_path, state)
         logger(f"resumed from {ckpt_path} at epoch {start_epoch}")
     elif args.detector_checkpoint:
-        # Pretrain weights go into BOTH student and EMA teacher
-        # (train.py:204-228 of the reference).
-        state = checkpoint.load_pretrain_into_ssl(args.detector_checkpoint, state)
-        logger(f"loaded pretrain weights from {args.detector_checkpoint}")
+        from ..train.torch_import import (is_torch_checkpoint,
+                                          read_torch_checkpoint)
+
+        if (args.eval and is_torch_checkpoint(args.detector_checkpoint)
+                and "ema_model_state_dict"
+                in read_torch_checkpoint(args.detector_checkpoint)):
+            # Evaluating a reference SSL checkpoint: keep its true teacher
+            # weights so --eval_use_ema scores the EMA model. (The
+            # reference's own loader always mirrors the student into the
+            # teacher, train.py:216-218, discarding the saved EMA.)
+            state, _, _ = checkpoint.load(args.detector_checkpoint, state)
+        else:
+            # Pretrain weights go into BOTH student and EMA teacher
+            # (train.py:204-228 of the reference).
+            state = checkpoint.load_pretrain_into_ssl(
+                args.detector_checkpoint, state)
+        logger(f"loaded weights from {args.detector_checkpoint}")
 
     mesh = None
     if n_dev > 1:

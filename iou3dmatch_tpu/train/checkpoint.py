@@ -15,6 +15,8 @@ import numpy as np
 from flax import serialization
 
 from .state import TrainState
+from .torch_import import (import_state_dict, is_torch_checkpoint,
+                           read_torch_checkpoint)
 
 
 def save(path: str, state: TrainState, epoch: int, loss: float = 0.0) -> None:
@@ -33,11 +35,39 @@ def save(path: str, state: TrainState, epoch: int, loss: float = 0.0) -> None:
 
 def load(path: str, template: TrainState):
     """Returns (state, epoch, loss). ``template`` supplies the pytree
-    structure (like torch load_state_dict into a constructed model)."""
+    structure (like torch load_state_dict into a constructed model).
+
+    Torch checkpoints written by the reference drivers (detected by file
+    magic) are imported transparently: model (and EMA, when both sides have
+    one) weights are mapped in; the optimizer restarts fresh — torch Adam
+    moments are leaf-tensor dicts keyed by parameter id and have no faithful
+    image in our flat raveled opt_state."""
+    if is_torch_checkpoint(path):
+        return _load_torch(path, template)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(template, payload["state"])
     return state, int(payload["epoch"]), float(payload["loss"])
+
+
+def _load_torch(path: str, template: TrainState):
+    payload = read_torch_checkpoint(path)
+    tv = {"params": template.params, "batch_stats": template.batch_stats}
+    imported = import_state_dict(tv, payload["model_state_dict"])
+    state = template.replace(params=imported["params"],
+                             batch_stats=imported["batch_stats"])
+    if template.ema_params is not None:
+        # SSL template: take the checkpoint's EMA weights if it has them
+        # (train.py:569-585), else mirror the student (pretrain handoff).
+        ema_sd = payload.get("ema_model_state_dict",
+                             payload["model_state_dict"])
+        ema = import_state_dict(
+            {"params": template.ema_params,
+             "batch_stats": template.ema_batch_stats}, ema_sd)
+        state = state.replace(
+            ema_params=jax.tree.map(jnp.copy, ema["params"]),
+            ema_batch_stats=jax.tree.map(jnp.copy, ema["batch_stats"]))
+    return state, int(payload.get("epoch", 0)), float(payload.get("loss", 0.0))
 
 
 def load_pretrain_into_ssl(path: str, ssl_template: TrainState) -> TrainState:
@@ -45,13 +75,22 @@ def load_pretrain_into_ssl(path: str, ssl_template: TrainState) -> TrainState:
     copied into both the student and the EMA teacher (train.py:204-228).
     The optimizer state is NOT restored (fresh Adam, as in the reference's
     non-``--resume`` path)."""
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
-    src = payload["state"]
-    params = serialization.from_state_dict(ssl_template.params, src["params"])
-    batch_stats = serialization.from_state_dict(
-        ssl_template.batch_stats, src["batch_stats"]
-    )
+    if is_torch_checkpoint(path):
+        payload = read_torch_checkpoint(path)
+        imported = import_state_dict(
+            {"params": ssl_template.params,
+             "batch_stats": ssl_template.batch_stats},
+            payload["model_state_dict"])
+        params, batch_stats = imported["params"], imported["batch_stats"]
+    else:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        src = payload["state"]
+        params = serialization.from_state_dict(
+            ssl_template.params, src["params"])
+        batch_stats = serialization.from_state_dict(
+            ssl_template.batch_stats, src["batch_stats"]
+        )
     return ssl_template.replace(
         params=params,
         batch_stats=batch_stats,

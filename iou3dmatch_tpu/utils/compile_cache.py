@@ -48,6 +48,22 @@ def _host_cpu_fingerprint() -> str:
 
 
 def enable_compilation_cache() -> None:
+    """Known limitation: do NOT enable this in a multi-process
+    (``jax.distributed``) CPU run — reloading XLA:CPU AOT entries there
+    wedges the Gloo clique rendezvous (GetKeyValue/connect timeouts in
+    context init; reproduced deterministically by tools/multihost_dryrun.py,
+    which therefore launches its workers with IOU3DMATCH_NO_COMPILE_CACHE=1).
+    Single-process CPU and all TPU paths are unaffected.
+
+    Second limitation: reloading an XLA:CPU AOT entry always logs a spurious
+    'could lead to SIGILL' feature-mismatch error — even on the host that
+    compiled it — because LLVM appends tuning pseudo-features
+    (+prefer-no-gather/+prefer-no-scatter) to the compile-feature list and
+    XLA compares that against raw CPUID host features, which can never
+    contain them. The fingerprint keying below prevents the GENUINE
+    cross-host hazard; the same-host log line is cosmetic but unavoidable,
+    so artifact-producing paths (``__graft_entry__.dryrun_multichip``) skip
+    the cache entirely."""
     if os.environ.get("IOU3DMATCH_NO_COMPILE_CACHE"):
         return
     import jax

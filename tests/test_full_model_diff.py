@@ -9,8 +9,6 @@ compared end to end on identical parameters and inputs. The point ops
 themselves have independent NumPy oracles (tests/oracles.py), so any
 mismatch here isolates MODEL math.
 """
-import re
-
 import numpy as np
 import pytest
 
@@ -22,35 +20,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _ref_key(path_names):
-    """Map our flax param path to the reference state_dict key.
-
-    ours: params/backbone_net/sa1/mlp/conv0/kernel
-      ->  backbone_net.sa1.mlp_module.layer0.conv.weight
-    ours: batch_stats/vgen/bn1/mean -> vgen.bn1.running_mean
-    """
-    coll, *mods, leaf = path_names
-    out = []
-    shared_mlp = False
-    for i, m in enumerate(mods):
-        if m.startswith("mlp"):
-            # SharedMLP container: SA/vote-aggregation call theirs
-            # mlp_module; FP ('mlp') and GridConv ('mlp_before_iou') keep
-            # the attribute name
-            parent = mods[i - 1] if i else ""
-            out.append("mlp_module" if (m == "mlp" and not parent.startswith("fp"))
-                       else m)
-            shared_mlp = True
-        elif shared_mlp and re.fullmatch(r"dense\d+", m):
-            out.append(f"layer{m[5:]}.conv")
-        elif shared_mlp and re.fullmatch(r"bn\d+", m):
-            out.append(f"layer{m[2:]}.bn.bn")
-        else:
-            out.append(m)
-    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
-    out.append(leaf_map[leaf])
-    return ".".join(out)
+# single source of truth for the flax-path <-> state_dict-key mapping —
+# the torch-checkpoint importer uses the same function in reverse
+from iou3dmatch_tpu.train.torch_import import flax_path_to_torch_key as _ref_key
 
 
 def _transplant(variables, ref_net):

@@ -132,6 +132,36 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     )
 
 
+def test_export_torch_cli(setup, tmp_path):
+    """cli/export_torch writes a reference-layout torch checkpoint whose
+    tensors are bit-equal to export_state_dict of the saved state."""
+    torch = pytest.importorskip("torch")
+
+    from iou3dmatch_tpu.cli.export_torch import main
+    from iou3dmatch_tpu.train.torch_import import export_state_dict
+
+    model, cfg, state, batch = setup
+    path = str(tmp_path / "ckpt.msgpack")
+    checkpoint.save(path, state, epoch=3, loss=0.5)
+    out = str(tmp_path / "checkpoint.tar")
+    # num_target 16 = build_votenet's tiny default, matching the fixture
+    main([path, out, "--tiny", "--num_target", "16"])
+
+    payload = torch.load(out)
+    assert payload["epoch"] == 3
+    assert "ema_model_state_dict" in payload  # fixture state has a teacher
+    sd = payload["model_state_dict"]
+    # reference module layouts: SharedMLP = 1x1 Conv2d, heads = Conv1d
+    assert tuple(sd["backbone_net.sa1.mlp_module.layer0.conv.weight"]
+                 .shape[2:]) == (1, 1)
+    assert sd["pnet.conv1.weight"].ndim == 3
+    expect = export_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    assert set(sd) == set(expect)
+    for k, v in expect.items():
+        np.testing.assert_array_equal(sd[k].numpy(), v, err_msg=k)
+
+
 def test_multichip_ssl_step(setup):
     """Full SSL train step sharded over the 8-device CPU mesh."""
     model, cfg, state, _ = setup

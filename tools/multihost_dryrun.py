@@ -100,6 +100,16 @@ def _run_step(jax, local_batch_fn):
 
     mesh = make_global_mesh()
     repl = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        # Establish the cross-process Gloo context NOW, while the workers
+        # are still within seconds of each other: Gloo's KV rendezvous has
+        # a 30 s deadline, and the first collective otherwise happens deep
+        # inside the SSL step — if one worker's compile (minutes, cold
+        # cache) finishes >30 s before the other's, context init times out
+        # and both workers die.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gloo-context-warmup")
     # replicate state as GLOBAL arrays: every process holds the identical
     # host value (deterministic init), so the process-local portion of a
     # fully-replicated array is the full array
@@ -108,7 +118,15 @@ def _run_step(jax, local_batch_fn):
         state)
     batch = local_batch_fn(batch_np, mesh)
 
-    step = make_ssl_step(model, cfg, num_labeled=bl)
+    # Loosened pseudo-label thresholds: at random init no teacher proposal
+    # clears the production 0.9/0.9/0.25 filter (train.py:263-275), which
+    # would leave the unlabeled loss identically zero and the on-device
+    # pseudo-label -> LHS -> frame-transform path unexercised across the
+    # process boundary. With the filter open, that path contributes a real
+    # nonzero loss that must still agree bit-for-bit between processes.
+    step = make_ssl_step(model, cfg, num_labeled=bl,
+                         obj_threshold=0.0, cls_threshold=0.0,
+                         iou_threshold=0.0)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1), 2e-3, 0.5)
     jax.block_until_ready(new_state.params)
     return float(metrics["loss"]), float(metrics["unlabeled_detection_loss"])
@@ -161,19 +179,31 @@ def parent():
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children set their own device counts
+    # XLA:CPU persistent-cache entries are AOT machine code; reloading them
+    # inside a jax.distributed multi-process run breaks the Gloo clique
+    # rendezvous (workers hang in context init: GetKeyValue/connect
+    # timeouts — reproduced deterministically, passes with the cache off)
+    # and spams 'could lead to SIGILL' feature-mismatch E-logs. Workers
+    # compile fresh; the single-process control keeps the cache.
+    worker_env = dict(env, IOU3DMATCH_NO_COMPILE_CACHE="1")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
              "--nprocs", str(N_PROCS), "--coordinator", coordinator],
-            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            cwd=REPO, env=worker_env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for i in range(N_PROCS)
     ]
     outs = [p.communicate(timeout=1800)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        if p.returncode != 0:
-            sys.stderr.write(f"--- worker {i} output ---\n{out}\n")
-            raise SystemExit(f"worker {i} failed rc={p.returncode}")
+    failed = [i for i, p in enumerate(procs) if p.returncode != 0]
+    if failed:
+        # dump EVERY failed worker: the root cause is usually in the one
+        # that died first, not the one that timed out waiting for it
+        for i in failed:
+            sys.stderr.write(f"--- worker {i} output ---\n{outs[i]}\n")
+        raise SystemExit(
+            f"workers {failed} failed "
+            f"rc={[procs[i].returncode for i in failed]}")
 
     single_p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--single"],
@@ -205,6 +235,10 @@ def parent():
     # reduction order may differ across process boundaries)
     np.testing.assert_allclose(w[0][0], s_loss[0], rtol=1e-5)
     np.testing.assert_allclose(w[0][1], s_loss[1], rtol=1e-5)
+    # the pseudo-label path must actually fire (see the threshold note in
+    # _run_step) — a zero unlabeled loss would mean the cross-process run
+    # never exercised the on-device LHS/transform pipeline
+    assert s_loss[1] > 0.0, result
     result["max_rel_diff"] = abs(w[0][0] - s_loss[0]) / abs(s_loss[0])
 
     os.makedirs(os.path.join(REPO, "reports"), exist_ok=True)
