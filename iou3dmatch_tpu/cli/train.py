@@ -173,19 +173,23 @@ def main(argv=None):
         from ..train.torch_import import (is_torch_checkpoint,
                                           read_torch_checkpoint)
 
-        if (args.eval and is_torch_checkpoint(args.detector_checkpoint)
-                and "ema_model_state_dict"
-                in read_torch_checkpoint(args.detector_checkpoint)):
+        torch_payload = (read_torch_checkpoint(args.detector_checkpoint)
+                         if args.eval
+                         and is_torch_checkpoint(args.detector_checkpoint)
+                         else None)
+        if torch_payload is not None and "ema_model_state_dict" in torch_payload:
             # Evaluating a reference SSL checkpoint: keep its true teacher
             # weights so --eval_use_ema scores the EMA model. (The
             # reference's own loader always mirrors the student into the
             # teacher, train.py:216-218, discarding the saved EMA.)
-            state, _, _ = checkpoint.load(args.detector_checkpoint, state)
+            state, _, _ = checkpoint.load(args.detector_checkpoint, state,
+                                          torch_payload=torch_payload)
         else:
             # Pretrain weights go into BOTH student and EMA teacher
             # (train.py:204-228 of the reference).
             state = checkpoint.load_pretrain_into_ssl(
-                args.detector_checkpoint, state)
+                args.detector_checkpoint, state,
+                torch_payload=torch_payload)
         logger(f"loaded weights from {args.detector_checkpoint}")
 
     mesh = None

@@ -33,7 +33,7 @@ def save(path: str, state: TrainState, epoch: int, loss: float = 0.0) -> None:
     os.replace(tmp, path)
 
 
-def load(path: str, template: TrainState):
+def load(path: str, template: TrainState, torch_payload=None):
     """Returns (state, epoch, loss). ``template`` supplies the pytree
     structure (like torch load_state_dict into a constructed model).
 
@@ -41,17 +41,22 @@ def load(path: str, template: TrainState):
     magic) are imported transparently: model (and EMA, when both sides have
     one) weights are mapped in; the optimizer restarts fresh — torch Adam
     moments are leaf-tensor dicts keyed by parameter id and have no faithful
-    image in our flat raveled opt_state."""
+    image in our flat raveled opt_state.
+
+    ``torch_payload``: an already-``read_torch_checkpoint`` payload for
+    ``path``, to avoid deserializing a large checkpoint twice when the
+    caller has inspected it (e.g. for an ``ema_model_state_dict`` key)."""
     if is_torch_checkpoint(path):
-        return _load_torch(path, template)
+        return _load_torch(path, template, torch_payload)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(template, payload["state"])
     return state, int(payload["epoch"]), float(payload["loss"])
 
 
-def _load_torch(path: str, template: TrainState):
-    payload = read_torch_checkpoint(path)
+def _load_torch(path: str, template: TrainState, payload=None):
+    if payload is None:
+        payload = read_torch_checkpoint(path)
     tv = {"params": template.params, "batch_stats": template.batch_stats}
     imported = import_state_dict(tv, payload["model_state_dict"])
     state = template.replace(params=imported["params"],
@@ -70,13 +75,15 @@ def _load_torch(path: str, template: TrainState):
     return state, int(payload.get("epoch", 0)), float(payload.get("loss", 0.0))
 
 
-def load_pretrain_into_ssl(path: str, ssl_template: TrainState) -> TrainState:
+def load_pretrain_into_ssl(path: str, ssl_template: TrainState,
+                           torch_payload=None) -> TrainState:
     """Load a stage-1 checkpoint into a stage-2 state: params/batch_stats are
     copied into both the student and the EMA teacher (train.py:204-228).
     The optimizer state is NOT restored (fresh Adam, as in the reference's
     non-``--resume`` path)."""
     if is_torch_checkpoint(path):
-        payload = read_torch_checkpoint(path)
+        payload = (torch_payload if torch_payload is not None
+                   else read_torch_checkpoint(path))
         imported = import_state_dict(
             {"params": ssl_template.params,
              "batch_stats": ssl_template.batch_stats},

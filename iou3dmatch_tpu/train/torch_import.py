@@ -83,7 +83,10 @@ def read_torch_checkpoint(path: str) -> dict:
     ``module.`` DataParallel prefixes in its state dicts."""
     import torch
 
-    payload = torch.load(path, map_location="cpu")
+    # weights_only: state dicts are plain tensor/number containers; never
+    # execute checkpoint pickle code — this path exists precisely for
+    # third-party published checkpoints (reference README.md:118-133).
+    payload = torch.load(path, map_location="cpu", weights_only=True)
 
     def _unwrap(sd):
         return {k[len("module."):] if k.startswith("module.") else k: v
@@ -120,7 +123,13 @@ def import_state_dict(template_variables, state_dict, strict: bool = True):
         names = [p.key for p in path]
         key = flax_path_to_torch_key(names)
         if key not in sd:
-            if names[-1] == "bias":
+            # Only SharedMLP Dense biases have no reference slot (the
+            # reference's 1x1 convs inside SharedMLP are bias-free, see
+            # export_state_dict); any other missing leaf means a
+            # truncated/mismatched checkpoint and must fail loudly.
+            if (names[-1] == "bias" and len(names) >= 2
+                    and re.fullmatch(r"dense\d+", names[-2])
+                    and any(m.startswith("mlp") for m in names[:-2])):
                 return np.zeros(leaf.shape, np.asarray(leaf).dtype)
             raise KeyError(
                 f"reference checkpoint has no entry for "

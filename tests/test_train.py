@@ -315,3 +315,55 @@ def test_reference_exact_step_runs(setup):
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          state.params, new_state.params)
         assert max(jax.tree.leaves(d)) > 0
+
+
+def test_multichip_eval_forward(setup):
+    """make_eval_forward on a batch sharded over the 8-device CPU mesh
+    (VERDICT r3 #6: eval was only ever exercised single-device). The
+    sharded run must agree with the unsharded one — eval has no
+    cross-scene coupling (BN uses running stats in eval mode), so this is
+    an equality check up to reduction order."""
+    model, cfg, state, _ = setup
+    rng = np.random.RandomState(7)
+    batch = _pretrain_batch(rng, cfg, b=8)
+
+    fwd = make_eval_forward(model, cfg)
+    out1, metrics1 = fwd(state, batch)
+
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    out8, metrics8 = fwd(state_r, batch_s)
+
+    np.testing.assert_allclose(
+        float(metrics8["detection_loss"]), float(metrics1["detection_loss"]),
+        rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out8["center"]), np.asarray(out1["center"]),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_save_restore_under_mesh(setup, tmp_path):
+    """Save from a mesh-replicated TrainState, restore, re-replicate and
+    resume with a sharded step (VERDICT r3 #6: a save-under-mesh
+    regression was previously invisible)."""
+    model, cfg, state, _ = setup
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+
+    path = str(tmp_path / "ckpt_mesh.msgpack")
+    checkpoint.save(path, state_r, epoch=11, loss=0.5)
+    restored, epoch, loss = checkpoint.load(path, state)
+    assert epoch == 11
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: replicate the restored state and take one sharded SSL step
+    rng = np.random.RandomState(8)
+    batch_s = shard_batch(_ssl_batch(rng, cfg, bl=8, bu=8), mesh)
+    step = make_ssl_step(model, cfg, num_labeled=8)
+    new_state, metrics = step(replicate(restored, mesh), batch_s,
+                              jax.random.PRNGKey(9), 2e-3, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == int(state.step) + 1

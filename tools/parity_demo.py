@@ -193,7 +193,11 @@ def _gen_sunrgbd(root):
 # ours
 # --------------------------------------------------------------------------
 
-def run_ours(root, dataset="scannet"):
+def _ours_dirname(variant, ours_seed):
+    name = "ours" if variant == "exact" else f"ours_{variant}"
+    return name if ours_seed == 0 else f"{name}_s{ours_seed}"
+
+def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
     import jax
 
     # Default: force CPU (the image pins JAX_PLATFORMS=axon, a tunneled
@@ -204,14 +208,23 @@ def run_ours(root, dataset="scannet"):
         jax.config.update("jax_platforms", "cpu")
 
     data = os.path.join(root, "data")
-    ours = os.path.join(root, "ours")
+    ours = os.path.join(root, _ours_dirname(variant, ours_seed))
     os.makedirs(ours, exist_ok=True)
     from iou3dmatch_tpu.cli import pretrain as cli_pretrain
     from iou3dmatch_tpu.cli import train as cli_train
 
+    # variant "exact": f32 + --reference_exact_step SSL semantics (the
+    # paper-recipe run_train.sh config). variant "fast": the production
+    # headline config (run_train_fast.sh / bench.py bf16 leg) — bf16
+    # compute in both stages, fast SSL step (teacher on unlabeled scenes
+    # only, jitter on labeled only). Eval always runs f32, like the
+    # reference's eval path.
+    fast = variant == "fast"
+    step_flags = ["--bf16"] if fast else ["--reference_exact_step"]
     common = ["--dataset", dataset,
               "--data_path", data, "--labeled_sample_list", "labeled.txt",
               "--num_point", str(CONF["num_point"]), "--num_workers", "2",
+              "--seed", str(ours_seed),
               "--eval_interval", "100000", "--save_interval", "100000",
               "--print_interval", "1000"]
     t0 = time.time()
@@ -219,7 +232,8 @@ def run_ours(root, dataset="scannet"):
         "--log_dir", os.path.join(ours, "pretrain"), "--resume",
         "--batch_size", str(CONF["pre_bs"]),
         "--max_epoch", str(CONF["pre_epochs"]),
-        "--learning_rate", str(CONF["lr_pre"]), *common])
+        "--learning_rate", str(CONF["lr_pre"]),
+        *(["--bf16"] if fast else []), *common])
     print(f"[ours] pretrain done in {time.time()-t0:.0f}s")
 
     t0 = time.time()
@@ -229,7 +243,7 @@ def run_ours(root, dataset="scannet"):
         "--batch_size", f"{CONF['bl']},{CONF['bu']}",
         "--max_epoch", str(CONF["ssl_epochs"]),
         "--learning_rate", str(CONF["lr_ssl"]),
-        "--reference_exact_step", *common])
+        *step_flags, *common])
     print(f"[ours] SSL done in {time.time()-t0:.0f}s")
 
     # evals via the library (clean metric capture)
@@ -592,37 +606,48 @@ def _ref_opt_eval(net, inputs, dc, opt_rate, opt_step):
 # --------------------------------------------------------------------------
 
 def report(root, dataset="scannet"):
-    ours = json.load(open(os.path.join(root, "ours", "metrics.json")))
+    import math
+
     ref = json.load(open(os.path.join(root, "reference", "metrics.json")))
+    # every completed ours run: "ours" (exact s0), "ours_s1", "ours_fast", ...
+    runs = sorted(d for d in os.listdir(root)
+                  if d.startswith("ours")
+                  and os.path.exists(os.path.join(root, d, "metrics.json")))
+    ours_all = {d: json.load(open(os.path.join(root, d, "metrics.json")))
+                for d in runs}
     lines = []
     if _conf_env:
         lines.append(f"(CONF overrides: {_conf_env})")
-    lines += ["| eval mode | metric | reference (torch+shim) | ours (TPU-native) |",
-              "|---|---|---|---|"]
-    import math
+    hdr = " | ".join(runs)
+    lines += [f"| eval mode | metric | reference (torch+shim) | {hdr} |",
+              "|---|---|---|" + "---|" * len(runs)]
 
-    def robust_map(re, oe):
+    def robust_map(re, oes):
         """Mean AP over classes BOTH sides can score. The reference's
         eval_det divides 0/0 for classes predicted but absent from the GT
         (utils/eval_det.py:135 → nan poisons its mean); ours skips them
         (eval/eval_det.py npos==0 guard). Comparable mean = classes with a
-        finite reference AP that ours also scored."""
+        finite reference AP that every ours run also scored."""
         cls = [c for c, v in re["per_class_ap"].items()
-               if math.isfinite(v) and c in oe["per_class_ap"]]
+               if math.isfinite(v)
+               and all(c in oe["per_class_ap"] for oe in oes)]
         if not cls:
-            return float("nan"), float("nan"), 0
+            return float("nan"), [float("nan")] * len(oes), 0
         return (sum(re["per_class_ap"][c] for c in cls) / len(cls),
-                sum(oe["per_class_ap"][c] for c in cls) / len(cls), len(cls))
+                [sum(oe["per_class_ap"][c] for c in cls) / len(cls)
+                 for oe in oes], len(cls))
 
     for mode in ("plain", "iou_nms", "iou_nms_opt"):
         for t in ("0.25", "0.5"):
+            oes = [ours_all[d][mode][t] for d in runs]
             for metric in ("mAP", "AR"):
                 r = ref[mode][t][metric]
-                o = ours[mode][t][metric]
-                lines.append(f"| {mode} | {metric}@{t} | {r:.4f} | {o:.4f} |")
-            rm, om, ncls = robust_map(ref[mode][t], ours[mode][t])
+                o = " | ".join(f"{oe[metric]:.4f}" for oe in oes)
+                lines.append(f"| {mode} | {metric}@{t} | {r:.4f} | {o} |")
+            rm, oms, ncls = robust_map(ref[mode][t], oes)
+            om = " | ".join(f"{v:.4f}" for v in oms)
             lines.append(
-                f"| {mode} | mAP@{t} (shared {ncls} cls) | {rm:.4f} | {om:.4f} |")
+                f"| {mode} | mAP@{t} (shared {ncls} cls) | {rm:.4f} | {om} |")
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(root, "report.md"), "w") as f:
@@ -637,6 +662,13 @@ def main():
                     choices=["scannet", "sunrgbd"])
     ap.add_argument("--root", default=None,
                     help="state dir (default _parity_demo[_sunrgbd])")
+    ap.add_argument("--variant", default="exact", choices=["exact", "fast"],
+                    help="ours config: exact = f32 --reference_exact_step "
+                         "(run_train.sh); fast = bf16 fast step "
+                         "(run_train_fast.sh, the bench headline)")
+    ap.add_argument("--ours_seed", type=int, default=0,
+                    help="model-init/shuffle seed for the ours phase; "
+                         "non-zero seeds train into ours*_sN/")
     args = ap.parse_args()
     if args.root is None:
         suffix = "" if args.dataset == "scannet" else f"_{args.dataset}"
@@ -645,8 +677,11 @@ def main():
     phases = ([args.phase] if args.phase != "all"
               else ["data", "ours", "reference", "report"])
     for phase in phases:
-        {"data": gen_data, "ours": run_ours, "reference": run_reference,
-         "report": report}[phase](args.root, args.dataset)
+        if phase == "ours":
+            run_ours(args.root, args.dataset, args.variant, args.ours_seed)
+        else:
+            {"data": gen_data, "reference": run_reference,
+             "report": report}[phase](args.root, args.dataset)
 
 
 if __name__ == "__main__":
