@@ -183,9 +183,20 @@ def main():
 
     def measure_pretrain(compute_dtype):
         """Stage-1 supervised step (reference pretrain.py:45-59: batch 8,
-        40k points, forward_with_pred_jitter + labeled loss + Adam)."""
+        40k points, forward_with_pred_jitter + labeled loss + Adam).
+
+        Runs 5 reps by default (vs 3 for the SSL legs): the round-3
+        artifact showed a bimodal pretrain spread ([155.1, 141.9, 141.8])
+        that 3 reps cannot resolve — this leg runs last, after two SSL
+        compile+measure cycles, so it sees the most accumulated tunnel /
+        clock state. More reps make the median robust to one outlier
+        window (VERDICT r3 #4)."""
         from iou3dmatch_tpu.train import make_pretrain_step
 
+        nonlocal n_reps
+        n_reps_saved = n_reps
+        n_reps = int(os.environ.get("BENCH_PRETRAIN_REPS",
+                                    max(5, n_reps) if on_accel else n_reps))
         b_pre = int(os.environ.get("BENCH_PRETRAIN_BATCH",
                                    8 if on_accel else 2))
         model, cfg = build_votenet("scannet", tiny=tiny,
@@ -203,7 +214,10 @@ def main():
             state, _ = step(state, batch, rng_key, 1e-3, 0.5)
             return state
 
-        return _timed_reps(step_once, b_pre, state)
+        try:
+            return _timed_reps(step_once, b_pre, state)
+        finally:
+            n_reps = n_reps_saved
 
     # bf16 mixed precision is the production training config on TPU (the
     # drivers' --bf16 flag); BENCH_DTYPE=float32 opts out for parity runs.

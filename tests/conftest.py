@@ -16,3 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly @pytest.mark.slow is `fast`, so
+    `pytest -m fast` (the pre-commit subset, ~1/3 of suite wall-clock)
+    needs no per-test bookkeeping. The full suite remains the gate;
+    `pytest -n auto` (pytest-xdist) parallelizes it on multi-core hosts."""
+    import pytest
+
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -1,5 +1,7 @@
 """Driver flag-surface parity: defaults must match the reference
 (pretrain.py:41-70, train.py:31-71)."""
+import pytest
+
 from iou3dmatch_tpu.cli import pretrain as cli_pretrain
 from iou3dmatch_tpu.cli import train as cli_train
 
@@ -69,6 +71,7 @@ def test_eval_flags_roundtrip():
     assert a.eval and a.use_iou_for_nms and a.opt_step == 10 and a.opt_rate == 0.05
 
 
+@pytest.mark.slow
 def test_driver_chain_pretrain_ssl_eval(tmp_path):
     """End-to-end CLI smoke on synthetic data (CPU, tiny model): the
     pretrain driver trains+evals+checkpoints, the SSL driver loads the

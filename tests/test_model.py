@@ -354,6 +354,7 @@ def test_head_init_matches_torch_defaults():
                 path, leaf_name, w.std(), bound)
 
 
+@pytest.mark.slow
 def test_fresh_init_overfits_small_batch():
     """Trainability canary: a fresh model + the real pretrain step must cut
     the supervised loss substantially when overfitting one tiny batch (the

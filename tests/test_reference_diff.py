@@ -497,6 +497,7 @@ def test_get_loss_matches_reference(dataset):
             err_msg=key)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("view_stats", [False, True])
 def test_get_unlabeled_loss_matches_reference(view_stats):
     """The SSL pseudo-label pipeline end to end — teacher-output filtering

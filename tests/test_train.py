@@ -162,6 +162,7 @@ def test_export_torch_cli(setup, tmp_path):
         np.testing.assert_array_equal(sd[k].numpy(), v, err_msg=k)
 
 
+@pytest.mark.slow
 def test_multichip_ssl_step(setup):
     """Full SSL train step sharded over the 8-device CPU mesh."""
     model, cfg, state, _ = setup
@@ -184,6 +185,7 @@ def test_multichip_ssl_step(setup):
     )
 
 
+@pytest.mark.slow
 def test_multichip_paper_batch_config(setup):
     """The paper config --batch_size 4,8 (reference train.py:47-48) is
     PER-DEVICE in the CLI: on the 8-device mesh the global batch is 32
@@ -233,6 +235,7 @@ def test_host_local_batch_to_global():
     assert len(g["a"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_jitter_rows_matches_full_jitter_in_eval_mode(setup):
     """The jitter_rows restructure (GridConv on (B+nl, K) boxes, jitter rows
     riding along as extra scenes) must be per-box identical to the reference

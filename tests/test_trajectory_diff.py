@@ -186,6 +186,7 @@ def _tree_drift(tree_a, tree_b):
     return worst
 
 
+@pytest.mark.slow
 def test_pretrain_trajectory_matches_reference():
     """5 reference pretrain steps (torch Adam) vs 5 of ours from identical
     weights, batches, and jitter noise (pretrain.py:310-347).
@@ -340,6 +341,7 @@ def test_pretrain_trajectory_matches_reference():
         f"param drift {cross_drift} vs self-chaos {self_drift}")
 
 
+@pytest.mark.slow
 def test_ssl_step_with_ema_matches_reference():
     """ONE full SSL step — mixed labeled+unlabeled batch, train-mode teacher
     forward, labeled + 2.0x unlabeled loss, Adam, EMA update with warmup
