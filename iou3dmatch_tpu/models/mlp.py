@@ -95,6 +95,18 @@ class SharedMLP(nn.Module):
 
     ``dtype`` (e.g. jnp.bfloat16) sets the compute/activation dtype; params
     and BN statistics stay float32. The output is returned in float32.
+
+    The Dense layers are BIAS-FREE when followed by BN, exactly like the
+    reference's 1x1 convs (pytorch_utils.py:17: ``bias=not bn``). This is
+    not just parity pedantry: a pre-BN bias has an output-invariant
+    direction (shifting all activations shifts the batch mean identically),
+    so its analytic gradient is zero — but autodiff evaluates it as a
+    cancellation residual (~1e-10), and Adam's second-moment normalization
+    turns ANY consistent residual into lr-sized steps. Measured on a real
+    TPU training run, such biases random-walked to ~6e-2 in 460 steps,
+    injecting train/eval BN inconsistency (running means lag the walk) and
+    breaking torch export totality. Bias-free is the reference semantics
+    and removes the walk entirely.
     """
 
     features: Sequence[int]
@@ -108,7 +120,7 @@ class SharedMLP(nn.Module):
         for i, f in enumerate(self.features):
             x = nn.Dense(
                 f, kernel_init=nn.initializers.he_normal(), name=f"dense{i}",
-                dtype=self.dtype,
+                dtype=self.dtype, use_bias=not self.bn,
             )(x)
             if self.bn:
                 x = BatchNorm(f, name=f"bn{i}")(x, train=train, momentum=momentum)

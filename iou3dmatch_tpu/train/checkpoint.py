@@ -50,8 +50,46 @@ def load(path: str, template: TrainState, torch_payload=None):
         return _load_torch(path, template, torch_payload)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    state = serialization.from_state_dict(template, payload["state"])
+    state = serialization.from_state_dict(
+        template, _compat_state(payload["state"], template))
     return state, int(payload["epoch"]), float(payload["loss"])
+
+
+def _compat_state(src, template):
+    """Pre-2026-08-20 checkpoints carry SharedMLP Dense ``bias`` leaves the
+    current (reference-parity, bias-free) model no longer has — see
+    models/mlp.py::SharedMLP for why they were removed (Adam random-walks
+    analytically-zero-gradient params). Strip payload entries with no
+    counterpart in the template so those files keep loading; if any were
+    stripped, the flat raveled opt_state no longer matches either, so keep
+    the template's fresh optimizer (eval/fine-tune use is unaffected —
+    exactly the torch-import contract)."""
+    tmpl_sd = serialization.to_state_dict(template)
+
+    dropped = []
+
+    def walk(s, t, path):
+        if not isinstance(s, dict) or not isinstance(t, dict):
+            return s
+        out = {}
+        for k, v in s.items():
+            if k in t:
+                out[k] = walk(v, t[k], path + (k,))
+            else:
+                dropped.append("/".join(path + (k,)))
+        return out
+
+    out = walk(src, tmpl_sd, ())
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint predates the bias-free SharedMLP: dropped "
+            f"{len(dropped)} stale leaves (e.g. {dropped[0]}); restarting "
+            "the optimizer state fresh", stacklevel=2)
+        if "opt_state" in out and "opt_state" in tmpl_sd:
+            out["opt_state"] = tmpl_sd["opt_state"]
+    return out
 
 
 def _load_torch(path: str, template: TrainState, payload=None):
@@ -92,7 +130,7 @@ def load_pretrain_into_ssl(path: str, ssl_template: TrainState,
     else:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
-        src = payload["state"]
+        src = _compat_state(payload["state"], ssl_template)
         params = serialization.from_state_dict(
             ssl_template.params, src["params"])
         batch_stats = serialization.from_state_dict(

@@ -370,3 +370,40 @@ def test_checkpoint_save_restore_under_mesh(setup, tmp_path):
                               jax.random.PRNGKey(9), 2e-3, 0.5)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == int(state.step) + 1
+
+
+def test_checkpoint_compat_strips_legacy_shared_mlp_bias(setup, tmp_path):
+    """Pre-bias-free-SharedMLP checkpoints (rounds 1-3) carry
+    mlp*/dense*/bias leaves the current model no longer has; they must
+    still load (leaves stripped, optimizer restarted fresh, warning)."""
+    import warnings
+
+    from flax import serialization
+
+    model, cfg, state, _ = setup
+    path = str(tmp_path / "legacy.msgpack")
+    checkpoint.save(path, state, epoch=3, loss=0.75)
+
+    # forge the legacy layout: add a stale bias under the first SharedMLP
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    p = payload["state"]["params"]
+    node = p["backbone_net"]["sa1"]["mlp"]["dense0"]
+    assert "bias" not in node
+    node["bias"] = np.full((node["kernel"].shape[1],), 0.05, np.float32)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        restored, epoch, _ = checkpoint.load(path, state)
+    assert epoch == 3
+    assert any("bias-free SharedMLP" in str(x.message) for x in w)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(restored.params)[0]))
+
+    ssl = checkpoint.load_pretrain_into_ssl(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ssl.ema_params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))

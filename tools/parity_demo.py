@@ -322,7 +322,7 @@ def _set_bn(net, m):
             mod.momentum = m
 
 
-def run_reference(root, dataset="scannet"):
+def run_reference(root, dataset="scannet", ref_seed=0):
     import jax
 
     # The shim backs the reference's _ext ops with our JAX kernels; without
@@ -346,7 +346,11 @@ def run_reference(root, dataset="scannet"):
         lambda pred, gt, ovthresh=0.25, get_iou_func=None:
         ref_ed.eval_det(pred, gt, ovthresh, False, get_iou_func))
 
-    refd = os.path.join(root, "reference")
+    # ref_seed != 0 trains an independent reference run (fresh torch init
+    # + shuffle streams) into reference_sN/ so the reference side gets
+    # run-to-run error bars too; seed 0 keeps the original dir and streams.
+    refd = os.path.join(root, "reference" if ref_seed == 0
+                        else f"reference_s{ref_seed}")
     os.makedirs(refd, exist_ok=True)
     if dataset == "scannet":
         ref_ds_mod = load("scannet.scannet_detection_dataset")
@@ -411,7 +415,7 @@ def run_reference(root, dataset="scannet"):
             mean_size_arr=dc.mean_size_arr, input_feature_dim=1,
             num_proposal=128, sampling="seed_fps", dataset_config=dc)
 
-    torch.manual_seed(CONF["seed"])
+    torch.manual_seed(CONF["seed"] + 7919 * ref_seed)
     net = make_net()
     net.train()
     opt = torch.optim.Adam(net.parameters(), lr=CONF["lr_pre"])
@@ -422,7 +426,7 @@ def run_reference(root, dataset="scannet"):
         print("[ref] pretrain checkpoint found, skipping stage 1")
     else:
         ds = det_ds(labeled_names, augment=True)
-        rng = np.random.RandomState(1)
+        rng = np.random.RandomState(1 + 100 * ref_seed)
         t0 = time.time()
         for epoch in range(CONF["pre_epochs"]):
             _set_bn(net, _bn_momentum(epoch))
@@ -467,7 +471,7 @@ def run_reference(root, dataset="scannet"):
               "samecls_match": False, "view_stats": False,
               "dataset": dataset, "obj_threshold": 0.9,
               "cls_threshold": 0.9, "iou_threshold": 0.25}
-        rng = np.random.RandomState(2)
+        rng = np.random.RandomState(2 + 100 * ref_seed)
         global_step = 0
         t0 = time.time()
         for epoch in range(CONF["ssl_epochs"]):
@@ -611,7 +615,7 @@ def report(root, dataset="scannet"):
     ref = json.load(open(os.path.join(root, "reference", "metrics.json")))
     # every completed ours run: "ours" (exact s0), "ours_s1", "ours_fast", ...
     runs = sorted(d for d in os.listdir(root)
-                  if d.startswith("ours")
+                  if d.startswith("ours") and "oldbias" not in d
                   and os.path.exists(os.path.join(root, d, "metrics.json")))
     ours_all = {d: json.load(open(os.path.join(root, d, "metrics.json")))
                 for d in runs}
@@ -669,6 +673,9 @@ def main():
     ap.add_argument("--ours_seed", type=int, default=0,
                     help="model-init/shuffle seed for the ours phase; "
                          "non-zero seeds train into ours*_sN/")
+    ap.add_argument("--ref_seed", type=int, default=0,
+                    help="independent reference-side run into "
+                         "reference_sN/ (torch init + shuffle streams)")
     args = ap.parse_args()
     if args.root is None:
         suffix = "" if args.dataset == "scannet" else f"_{args.dataset}"
@@ -679,8 +686,10 @@ def main():
     for phase in phases:
         if phase == "ours":
             run_ours(args.root, args.dataset, args.variant, args.ours_seed)
+        elif phase == "reference":
+            run_reference(args.root, args.dataset, args.ref_seed)
         else:
-            {"data": gen_data, "reference": run_reference,
+            {"data": gen_data,
              "report": report}[phase](args.root, args.dataset)
 
 
