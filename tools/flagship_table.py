@@ -12,7 +12,7 @@ import sys
 import numpy as np
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "_parity_demo_dense")
+                    sys.argv[1] if len(sys.argv) > 1 else "_parity_demo_dense")
 
 
 def collect(prefix, exclude=("oldbias",)):
