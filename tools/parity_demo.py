@@ -219,8 +219,15 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
     # compute in both stages, fast SSL step (teacher on unlabeled scenes
     # only, jitter on labeled only). Eval always runs f32, like the
     # reference's eval path.
-    fast = variant == "fast"
-    step_flags = ["--bf16"] if fast else ["--reference_exact_step"]
+    #
+    # 2x2 ablation corners (VERDICT r4 #1 — the shipping configs confound
+    # dtype with step semantics, so these split them): "f32fast" = f32
+    # compute in both stages + the fast SSL step; "bf16exact" = bf16
+    # compute in both stages + --reference_exact_step.
+    fast_step = variant in ("fast", "f32fast")
+    bf16 = variant in ("fast", "bf16exact")
+    step_flags = ((["--bf16"] if bf16 else [])
+                  + ([] if fast_step else ["--reference_exact_step"]))
     common = ["--dataset", dataset,
               "--data_path", data, "--labeled_sample_list", "labeled.txt",
               "--num_point", str(CONF["num_point"]), "--num_workers", "2",
@@ -233,7 +240,7 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
         "--batch_size", str(CONF["pre_bs"]),
         "--max_epoch", str(CONF["pre_epochs"]),
         "--learning_rate", str(CONF["lr_pre"]),
-        *(["--bf16"] if fast else []), *common])
+        *(["--bf16"] if bf16 else []), *common])
     print(f"[ours] pretrain done in {time.time()-t0:.0f}s")
 
     t0 = time.time()
@@ -666,10 +673,13 @@ def main():
                     choices=["scannet", "sunrgbd"])
     ap.add_argument("--root", default=None,
                     help="state dir (default _parity_demo[_sunrgbd])")
-    ap.add_argument("--variant", default="exact", choices=["exact", "fast"],
+    ap.add_argument("--variant", default="exact",
+                    choices=["exact", "fast", "f32fast", "bf16exact"],
                     help="ours config: exact = f32 --reference_exact_step "
                          "(run_train.sh); fast = bf16 fast step "
-                         "(run_train_fast.sh, the bench headline)")
+                         "(run_train_fast.sh, the bench headline); "
+                         "f32fast / bf16exact = the 2x2 ablation corners "
+                         "splitting dtype from step semantics")
     ap.add_argument("--ours_seed", type=int, default=0,
                     help="model-init/shuffle seed for the ours phase; "
                          "non-zero seeds train into ours*_sN/")
