@@ -1,0 +1,73 @@
+"""Copy per-run demo evidence into the repo (VERDICT r4 #5).
+
+The flagship seed tables are aggregates over per-run ``metrics.json``
+files that live in gitignored state dirs (``_parity_demo_dense*``). This
+tool copies every run's metrics (plus a manifest recording the CONF
+overrides, variant, and seed of each run) into ``reports/runs/<exp>/`` so
+``tools/flagship_table.py reports/runs/<exp>`` re-derives every committed
+table from committed inputs, even after the state dirs are deleted.
+
+Usage: python tools/sync_run_evidence.py
+"""
+import json
+import os
+import re
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# experiment name -> (state dir, CONF overrides used for every run in it)
+EXPERIMENTS = {
+    "scannet_dense": ("_parity_demo_dense",
+                      {"pre_epochs": 200, "ssl_epochs": 30, "n_val": 12}),
+    "sunrgbd_dense": ("_parity_demo_sunrgbd_dense",
+                      {"pre_epochs": 200, "ssl_epochs": 30, "n_val": 12}),
+}
+
+VARIANTS = {"": "exact", "fast": "fast", "f32fast": "f32fast",
+            "bf16exact": "bf16exact", "oldbias": "oldbias",
+            "fast_oldbias": "fast_oldbias"}
+
+
+def run_info(d):
+    """(side, variant, seed) from a run dir name like ours_fast_s2."""
+    m = re.search(r"_s(\d+)$", d)
+    seed = int(m.group(1)) if m else 0
+    base = d[:m.start()] if m else d
+    if base == "reference":
+        return ("reference", "reference", seed)
+    if base == "ours":
+        return ("ours", "exact", seed)
+    if base.startswith("ours_") and base[len("ours_"):] in VARIANTS:
+        return ("ours", VARIANTS[base[len("ours_"):]], seed)
+    return None
+
+
+def main():
+    for exp, (state, conf) in EXPERIMENTS.items():
+        src_root = os.path.join(REPO, state)
+        if not os.path.isdir(src_root):
+            print(f"[skip] {exp}: state dir {state} absent", file=sys.stderr)
+            continue
+        dst_root = os.path.join(REPO, "reports", "runs", exp)
+        manifest = {"state_dir": state, "conf_overrides": conf, "runs": {}}
+        n = 0
+        for d in sorted(os.listdir(src_root)):
+            src = os.path.join(src_root, d, "metrics.json")
+            info = run_info(d)
+            if info is None or not os.path.exists(src):
+                continue
+            side, variant, seed = info
+            os.makedirs(os.path.join(dst_root, d), exist_ok=True)
+            shutil.copy2(src, os.path.join(dst_root, d, "metrics.json"))
+            manifest["runs"][d] = {"side": side, "variant": variant,
+                                   "seed": seed}
+            n += 1
+        with open(os.path.join(dst_root, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"[ok] {exp}: {n} runs -> reports/runs/{exp}/")
+
+
+if __name__ == "__main__":
+    main()
