@@ -59,14 +59,18 @@ def _compat_state(src, template):
     """Pre-2026-08-20 checkpoints carry SharedMLP Dense ``bias`` leaves the
     current (reference-parity, bias-free) model no longer has — see
     models/mlp.py::SharedMLP for why they were removed (Adam random-walks
-    analytically-zero-gradient params). Strip payload entries with no
-    counterpart in the template so those files keep loading; if any were
-    stripped, the flat raveled opt_state no longer matches either, so keep
-    the template's fresh optimizer (eval/fine-tune use is unaffected —
-    exactly the torch-import contract)."""
+    analytically-zero-gradient params). Strip ONLY payload entries matching
+    that legacy pattern (a ``bias`` under a ``dense*`` module whose template
+    twin is bias-free but has the ``kernel``) so those files keep loading;
+    if any were stripped, the flat raveled opt_state no longer matches
+    either, so keep the template's fresh optimizer (eval/fine-tune use is
+    unaffected — exactly the torch-import contract). Any OTHER payload leaf
+    with no counterpart in the template is an architecture mismatch and
+    raises, like ``flax.serialization.from_state_dict`` would, instead of
+    silently dropping weights."""
     tmpl_sd = serialization.to_state_dict(template)
 
-    dropped = []
+    dropped, unknown = [], []
 
     def walk(s, t, path):
         if not isinstance(s, dict) or not isinstance(t, dict):
@@ -75,18 +79,28 @@ def _compat_state(src, template):
         for k, v in s.items():
             if k in t:
                 out[k] = walk(v, t[k], path + (k,))
-            else:
+            elif (k == "bias" and path and path[-1].startswith("dense")
+                  and "kernel" in t):
                 dropped.append("/".join(path + (k,)))
+            else:
+                unknown.append("/".join(path + (k,)))
         return out
 
     out = walk(src, tmpl_sd, ())
+    if unknown:
+        raise ValueError(
+            "checkpoint does not match the model architecture: payload "
+            f"leaves {unknown[:5]}{'...' if len(unknown) > 5 else ''} have "
+            "no counterpart in the template (and are not legacy SharedMLP "
+            "dense biases)")
     if dropped:
         import warnings
 
         warnings.warn(
             f"checkpoint predates the bias-free SharedMLP: dropped "
-            f"{len(dropped)} stale leaves (e.g. {dropped[0]}); restarting "
-            "the optimizer state fresh", stacklevel=2)
+            f"{len(dropped)} stale dense-bias leaves "
+            f"({dropped[:3]}{'...' if len(dropped) > 3 else ''}); "
+            "restarting the optimizer state fresh", stacklevel=2)
         if "opt_state" in out and "opt_state" in tmpl_sd:
             out["opt_state"] = tmpl_sd["opt_state"]
     return out

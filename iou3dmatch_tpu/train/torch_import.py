@@ -104,10 +104,11 @@ def import_state_dict(template_variables, state_dict, strict: bool = True):
 
     Reference 1x1-conv weights ``(out, in, 1[, 1])`` become our Dense
     kernels ``(in, out)``; BN ``weight/bias/running_mean/running_var``
-    become ``scale/bias/mean/var``. Our SharedMLP Dense layers carry a bias
-    the reference's BN-followed convs don't have
-    (``/root/reference/pointnet2/pytorch_utils.py:14-39``) — those import
-    as zeros, which is numerically identical (BN re-centers immediately).
+    become ``scale/bias/mean/var``. Our SharedMLP Dense layers are
+    BIAS-FREE exactly like the reference's BN-followed convs
+    (``/root/reference/pointnet2/pytorch_utils.py:14-39``, see
+    models/mlp.py); the dense-bias zero-fill branch below survives only as
+    a backstop for hand-built templates that still carry such a leaf.
 
     With ``strict`` (default), every reference entry except
     ``num_batches_tracked`` counters must be consumed, so architecture
@@ -187,10 +188,10 @@ def export_state_dict(variables) -> dict:
         elif (names[-1] == "bias" and len(names) >= 2
               and re.fullmatch(r"dense\d+", names[-2])
               and any(m.startswith("mlp") for m in names[:-2])):
-            # SharedMLP convs are bias-free in the reference; our Dense
-            # twin carries a bias that stays exactly zero under training
-            # (a constant shift before BN's mean-subtraction has zero
-            # gradient), so it drops out of the export losslessly
+            # SharedMLP convs are bias-free in the reference AND (since the
+            # mlp.py parity fix) in our model, so this branch is a backstop
+            # for hand-built/legacy trees only: an all-zero bias before
+            # BN's mean-subtraction drops out of the export losslessly
             if not val.any():
                 continue
             raise ValueError(

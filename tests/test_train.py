@@ -407,3 +407,26 @@ def test_checkpoint_compat_strips_legacy_shared_mlp_bias(setup, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(ssl.ema_params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+def test_checkpoint_compat_rejects_non_legacy_extra_leaves(setup, tmp_path):
+    """An unmatched payload leaf that is NOT a legacy SharedMLP dense bias
+    (e.g. from a different/newer architecture) must raise, not silently
+    drop weights (ADVICE r4)."""
+    import pytest
+    from flax import serialization
+
+    model, cfg, state, _ = setup
+    path = str(tmp_path / "mismatched.msgpack")
+    checkpoint.save(path, state, epoch=1, loss=0.5)
+
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    p = payload["state"]["params"]
+    p["backbone_net"]["sa1"]["extra_head"] = {
+        "kernel": np.zeros((4, 4), np.float32)}
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    with pytest.raises(ValueError, match="extra_head"):
+        checkpoint.load(path, state)
