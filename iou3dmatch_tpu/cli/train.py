@@ -94,6 +94,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu); needed because this "
                         "image pins JAX_PLATFORMS at interpreter start")
+    p.add_argument("--f32_gridconv", action="store_true",
+                   help="keep the GridConv IoU branch in float32 under "
+                        "--bf16 (targeted mixed-precision promotion)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in the SA/FP/GridConv MLPs "
                         "(params and BN statistics stay float32)")
@@ -156,6 +159,7 @@ def main(argv=None):
         input_feature_dim=(0 if args.no_height else 1) + (3 if args.use_color else 0),
         sampling=args.cluster_sampling, tiny=args.tiny,
         compute_dtype="bfloat16" if args.bf16 else None,
+        f32_gridconv=args.f32_gridconv,
         vote_factor=args.vote_factor)
     # one-sample shape probe: a thread "pool" — no point forking a
     # throwaway process pool for a single item

@@ -16,6 +16,7 @@ def build_votenet(
     compute_dtype=None,
     fps_prefix: bool = True,
     vote_factor: int = 1,
+    f32_gridconv: bool = False,
 ):
     """Returns (model, dataset_config). Defaults mirror pretrain.py:41-70."""
     cfg = get_config(dataset)
@@ -37,6 +38,7 @@ def build_votenet(
         compute_dtype=compute_dtype,
         fps_prefix=fps_prefix,
         vote_factor=vote_factor,
+        f32_gridconv=f32_gridconv,
         **kwargs,
     )
     return model, cfg

@@ -32,6 +32,9 @@ class VoteNet(nn.Module):
     query_feats: str = "seed"
     sa_npoints: Sequence[int] = (2048, 1024, 512, 256)
     compute_dtype: Optional[str] = None  # 'bfloat16' for mixed precision
+    # keep the GridConv IoU branch in f32 even under bf16 mixed precision
+    # (targeted promotion candidate from the round-5 dtype-vs-step 2x2)
+    f32_gridconv: bool = False
     sa_radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
     sa_nsamples: Sequence[int] = (64, 32, 16, 16)
     # skip provably-arange FPS calls (SA2-4 + seed_fps); see backbone.py
@@ -58,7 +61,7 @@ class VoteNet(nn.Module):
             fps_prefix=self.fps_prefix,
         )
         self.grid_conv = GridConv(
-            dtype=mp_dtype,
+            dtype=None if self.f32_gridconv else mp_dtype,
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
             num_size_cluster=self.num_size_cluster,

@@ -38,8 +38,10 @@ GROUP_LABELS = {
     "fast": "ours bf16-fast",
     "f32fast": "ours f32+fast-step",
     "bf16exact": "ours bf16+exact-step",
+    "fastg32": "ours fast+f32GridConv",
 }
-GROUP_ORDER = ["reference", "exact", "fast", "f32fast", "bf16exact"]
+GROUP_ORDER = ["reference", "exact", "fast", "f32fast", "bf16exact",
+               "fastg32"]
 MODES = ("plain", "iou_nms", "iou_nms_opt")
 THRESHOLDS = ("0.25", "0.5")
 METRICS = ("mAP", "AR")

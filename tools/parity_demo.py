@@ -224,9 +224,13 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
     # dtype with step semantics, so these split them): "f32fast" = f32
     # compute in both stages + the fast SSL step; "bf16exact" = bf16
     # compute in both stages + --reference_exact_step.
-    fast_step = variant in ("fast", "f32fast")
-    bf16 = variant in ("fast", "bf16exact")
+    # "fastg32": the fast config with only the GridConv IoU branch promoted
+    # back to f32 (candidate repair if the 2x2 blames bf16 compute).
+    fast_step = variant in ("fast", "f32fast", "fastg32")
+    bf16 = variant in ("fast", "bf16exact", "fastg32")
+    g32 = variant == "fastg32"
     step_flags = ((["--bf16"] if bf16 else [])
+                  + (["--f32_gridconv"] if g32 else [])
                   + ([] if fast_step else ["--reference_exact_step"]))
     common = ["--dataset", dataset,
               "--data_path", data, "--labeled_sample_list", "labeled.txt",
@@ -240,7 +244,8 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
         "--batch_size", str(CONF["pre_bs"]),
         "--max_epoch", str(CONF["pre_epochs"]),
         "--learning_rate", str(CONF["lr_pre"]),
-        *(["--bf16"] if bf16 else []), *common])
+        *(["--bf16"] if bf16 else []),
+        *(["--f32_gridconv"] if g32 else []), *common])
     print(f"[ours] pretrain done in {time.time()-t0:.0f}s")
 
     t0 = time.time()
@@ -674,7 +679,8 @@ def main():
     ap.add_argument("--root", default=None,
                     help="state dir (default _parity_demo[_sunrgbd])")
     ap.add_argument("--variant", default="exact",
-                    choices=["exact", "fast", "f32fast", "bf16exact"],
+                    choices=["exact", "fast", "f32fast", "bf16exact",
+                             "fastg32"],
                     help="ours config: exact = f32 --reference_exact_step "
                          "(run_train.sh); fast = bf16 fast step "
                          "(run_train_fast.sh, the bench headline); "

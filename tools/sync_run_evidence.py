@@ -26,8 +26,8 @@ EXPERIMENTS = {
 }
 
 VARIANTS = {"": "exact", "fast": "fast", "f32fast": "f32fast",
-            "bf16exact": "bf16exact", "oldbias": "oldbias",
-            "fast_oldbias": "fast_oldbias"}
+            "bf16exact": "bf16exact", "fastg32": "fastg32",
+            "oldbias": "oldbias", "fast_oldbias": "fast_oldbias"}
 
 
 def run_info(d):
