@@ -397,3 +397,24 @@ def test_fresh_init_overfits_small_batch():
     first = np.mean(losses[:3])
     last = np.mean(losses[-3:])
     assert last < 0.7 * first, (first, last, losses[::10])
+
+
+def test_f32_gridconv_promotion():
+    """--f32_gridconv keeps the GridConv IoU branch in f32 (exact interp
+    path) while the backbone stays bf16 — the round-5 targeted
+    mixed-precision repair of the fast config."""
+    from iou3dmatch_tpu.models.factory import build_votenet
+
+    bf16, _ = build_votenet("scannet", tiny=True, compute_dtype="bfloat16")
+    fixed, _ = build_votenet("scannet", tiny=True, compute_dtype="bfloat16",
+                             f32_gridconv=True)
+    import jax
+
+    xyz = jax.numpy.zeros((1, 256, 4))
+    v = bf16.init(jax.random.PRNGKey(0), xyz, train=False,
+                  method=bf16.forward_backbone)
+    b_bf16 = bf16.bind(v)
+    b_fixed = fixed.bind(v)
+    assert b_bf16.grid_conv.dtype == jax.numpy.bfloat16
+    assert b_fixed.grid_conv.dtype is None  # f32 / HIGHEST-precision path
+    assert b_fixed.backbone_net.dtype == jax.numpy.bfloat16
