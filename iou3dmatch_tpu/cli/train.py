@@ -83,6 +83,17 @@ def parse_args(argv=None):
                         "(teacher labeled rows, teacher jitter IoU, unlabeled "
                         "student jitter); only train-mode BN batch statistics "
                         "differ (see train/steps.py)")
+    p.add_argument("--full_teacher", action="store_true",
+                   help="run the teacher on the full mixed batch (reverts "
+                        "fast-step pruning 1 only; implied by "
+                        "--reference_exact_step)")
+    p.add_argument("--exact_jitter", action="store_true",
+                   help="restore the jittered-box GridConv passes — teacher "
+                        "jitter pass + student jitter on every scene — so "
+                        "train-mode GridConv BN sees the reference's box "
+                        "population (reverts fast-step prunings 2+3; implied "
+                        "by --reference_exact_step). The round-5 fast-config "
+                        "accuracy repair (reports/flagship.md §3)")
     p.add_argument("--view_stats", action="store_true",
                    help="load real labels of unlabeled scans and report "
                         "pseudo-label quality metrics (diagnostics only)")
@@ -210,7 +221,8 @@ def main(argv=None):
         cls_threshold=args.cls_threshold, iou_threshold=args.iou_threshold,
         dataset=args.dataset, weight_decay=args.weight_decay,
         view_stats=args.view_stats,
-        reference_exact=args.reference_exact_step)
+        reference_exact=args.reference_exact_step,
+        full_teacher=args.full_teacher, exact_jitter=args.exact_jitter)
     eval_forward = make_eval_forward(model, cfg, use_ema=args.eval_use_ema)
     eval_forward.use_ema = args.eval_use_ema
     config_dict = make_config_dict(cfg, args)

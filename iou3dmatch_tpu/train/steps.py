@@ -80,7 +80,8 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                   obj_threshold=0.9, cls_threshold=0.9, iou_threshold=0.25,
                   nms_iou=0.25, use_lhs=True, samecls_match=False,
                   dataset="scannet", weight_decay=0.0, view_stats=False,
-                  reference_exact=False, adam_eps=1e-8):
+                  reference_exact=False, full_teacher=False,
+                  exact_jitter=False, adam_eps=1e-8):
     """Mean-teacher SSL step (train.py:305-371): teacher forward on the
     unaugmented EMA view, student forward on the augmented view, labeled +
     weighted unlabeled loss, Adam, then the EMA parameter update with warmup
@@ -103,7 +104,24 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
        GridConv forward+backward is dead compute.
 
     Set True for reference-exact numerics (full-batch jittered teacher,
-    full-batch student jitter)."""
+    full-batch student jitter).
+
+    The two prunings are independently revertible (round-5 repair knobs —
+    the fast config's accuracy deficit traced to step semantics, see
+    reports/flagship.md §3):
+
+    - ``full_teacher``: run the teacher on the full mixed batch (reverts
+      pruning 1 only). Its BN batch is then the reference's 12 i.i.d.
+      scenes instead of the 8 unlabeled ones.
+    - ``exact_jitter``: restore the jittered-box GridConv passes (reverts
+      prunings 2+3): the teacher runs forward_with_pred_jitter and the
+      student jitters every scene, so train-mode GridConv BatchNorm sees
+      the reference's box population (50% jittered copies) instead of
+      25%/0% — a composition shift, not just sampling noise.
+
+    ``reference_exact`` implies both."""
+    teacher_full = reference_exact or full_teacher
+    jitter_full = reference_exact or exact_jitter
     tx = make_optimizer(weight_decay, eps=adam_eps)
 
     # donate the TrainState: params/opt/EMA update in place (the
@@ -121,7 +139,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         from ..ops import furthest_point_sample
 
         ema_clouds = batch["ema_point_clouds"]
-        if not reference_exact:
+        if not teacher_full:
             ema_clouds = ema_clouds[num_labeled:]
         xyz_both = jnp.concatenate(
             [ema_clouds[..., 0:3],
@@ -135,7 +153,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
         # statistics; only parameters are EMA'd (train.py:334-335, 285-289).
         # Fast default: plain forward — the teacher's jittered-box GridConv
         # outputs are never consumed (see the reference_exact docstring).
-        if reference_exact:
+        if jitter_full:
             ema_ep, ema_mut = model.apply(
                 {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
                 ema_clouds, t_rng, train=True, momentum=bn_momentum,
@@ -156,7 +174,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 batch["point_clouds"], s_rng, train=True, momentum=bn_momentum,
                 mutable=["batch_stats"],
                 method=model.forward_with_pred_jitter, sa1_inds=s_inds,
-                jitter_rows=None if reference_exact else num_labeled,
+                jitter_rows=None if jitter_full else num_labeled,
             )
             sup_loss, m1 = get_labeled_loss(ep, batch, cfg, num_labeled)
             unsup_loss, m2 = get_unlabeled_loss(
@@ -165,7 +183,7 @@ def make_ssl_step(model, cfg, num_labeled, *, unlabeled_weight=2.0, ema_decay=0.
                 iou_threshold=iou_threshold, nms_iou=nms_iou, use_lhs=use_lhs,
                 samecls_match=samecls_match, dataset=dataset,
                 view_stats=view_stats,
-                ema_rows_are_unlabeled=not reference_exact,
+                ema_rows_are_unlabeled=not teacher_full,
             )
             loss = sup_loss + unlabeled_weight * unsup_loss
             m1.update(m2)

@@ -39,9 +39,11 @@ GROUP_LABELS = {
     "f32fast": "ours f32+fast-step",
     "bf16exact": "ours bf16+exact-step",
     "fastg32": "ours fast+f32GridConv",
+    "fastbn": "ours fast+exactJitter",
+    "fastteacher": "ours fast+fullTeacher",
 }
 GROUP_ORDER = ["reference", "exact", "fast", "f32fast", "bf16exact",
-               "fastg32"]
+               "fastg32", "fastbn", "fastteacher"]
 MODES = ("plain", "iou_nms", "iou_nms_opt")
 THRESHOLDS = ("0.25", "0.5")
 METRICS = ("mAP", "AR")

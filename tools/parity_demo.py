@@ -226,11 +226,20 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
     # compute in both stages + --reference_exact_step.
     # "fastg32": the fast config with only the GridConv IoU branch promoted
     # back to f32 (candidate repair if the 2x2 blames bf16 compute).
-    fast_step = variant in ("fast", "f32fast", "fastg32")
-    bf16 = variant in ("fast", "bf16exact", "fastg32")
+    # "fastbn" / "fastteacher": candidate repairs if the 2x2 blames step
+    # semantics — the fast config with ONE pruning reverted each:
+    # fastbn = bf16 fast step + --exact_jitter (reference GridConv BN box
+    # population restored); fastteacher = bf16 fast step + --full_teacher
+    # (teacher BN batch = the full 12-scene mixed batch).
+    fast_step = variant in ("fast", "f32fast", "fastg32", "fastbn",
+                            "fastteacher")
+    bf16 = variant in ("fast", "bf16exact", "fastg32", "fastbn",
+                       "fastteacher")
     g32 = variant == "fastg32"
     step_flags = ((["--bf16"] if bf16 else [])
                   + (["--f32_gridconv"] if g32 else [])
+                  + (["--exact_jitter"] if variant == "fastbn" else [])
+                  + (["--full_teacher"] if variant == "fastteacher" else [])
                   + ([] if fast_step else ["--reference_exact_step"]))
     common = ["--dataset", dataset,
               "--data_path", data, "--labeled_sample_list", "labeled.txt",
@@ -680,7 +689,7 @@ def main():
                     help="state dir (default _parity_demo[_sunrgbd])")
     ap.add_argument("--variant", default="exact",
                     choices=["exact", "fast", "f32fast", "bf16exact",
-                             "fastg32"],
+                             "fastg32", "fastbn", "fastteacher"],
                     help="ours config: exact = f32 --reference_exact_step "
                          "(run_train.sh); fast = bf16 fast step "
                          "(run_train_fast.sh, the bench headline); "

@@ -27,6 +27,7 @@ EXPERIMENTS = {
 
 VARIANTS = {"": "exact", "fast": "fast", "f32fast": "f32fast",
             "bf16exact": "bf16exact", "fastg32": "fastg32",
+            "fastbn": "fastbn", "fastteacher": "fastteacher",
             "oldbias": "oldbias", "fast_oldbias": "fast_oldbias"}
 
 
