@@ -246,7 +246,7 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
               "--num_point", str(CONF["num_point"]), "--num_workers", "2",
               "--seed", str(ours_seed),
               "--eval_interval", "100000", "--save_interval", "100000",
-              "--print_interval", "1000"]
+              "--print_interval", "1000", "--ckpt_interval", "50"]
     t0 = time.time()
     cli_pretrain.main([
         "--log_dir", os.path.join(ours, "pretrain"), "--resume",
