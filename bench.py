@@ -15,10 +15,15 @@ V100, a mid-range estimate for VoteNet teacher+student at 40k points.
 Treat it as a fixed yardstick for round-over-round comparison, not ground
 truth.
 
-The ONE emitted line's main value is the production config (bf16 fast
-path); the f32 ``reference_exact`` parity configuration is measured in the
-same run and carried as an extra ``f32_exact`` key so the speed number can
-never be traded silently against semantics (VERDICT r1, weak #2).
+The ONE emitted line's main value is the production config — since round
+5 that is bf16 mixed precision with REFERENCE-EXACT step semantics
+(run_train_fast.sh; the 2x2 ablation in reports/flagship.md §3 showed
+bf16 stacked on the pruned fast step compounds to an accuracy deficit,
+so the shipped config takes one approximation only). The f32
+``reference_exact`` parity configuration and the pruned ``--fast_step``
+variant are measured in the same run and carried as extra ``f32_exact`` /
+``bf16_fast_step`` keys so the speed numbers can never be traded silently
+against semantics (VERDICT r1, weak #2).
 
 Each config reports the MEDIAN of BENCH_REPS (default 3) timed windows of
 BENCH_STEPS steps, plus the raw reps, so the headline is robust to the
@@ -223,9 +228,14 @@ def main():
     # drivers' --bf16 flag); BENCH_DTYPE=float32 opts out for parity runs.
     dtype_env = os.environ.get("BENCH_DTYPE", "bfloat16")
     compute_dtype = None if dtype_env in ("float32", "f32") else dtype_env
-    scenes_per_sec, reps = measure(compute_dtype, reference_exact=False)
+    # The production step is reference-exact since round 5;
+    # BENCH_FAST_STEP=1 opts the primary leg into the pruned step.
+    fast_step = os.environ.get("BENCH_FAST_STEP", "0") == "1"
+    scenes_per_sec, reps = measure(compute_dtype,
+                                   reference_exact=not fast_step)
 
-    dtype_tag = ",bf16" if compute_dtype else ""
+    dtype_tag = (",bf16" if compute_dtype else "") + (
+        ",fast-step" if fast_step else ",exact-step")
     global _partial_line
     _partial_line = {
         "metric": f"ssl_step_scenes_per_sec[{platform},{n_points}pts,b{bl}+{bu}{dtype_tag}]",
@@ -249,6 +259,17 @@ def main():
             }
         except Exception as e:  # noqa: BLE001 — report, don't die
             extra["f32_exact"] = {"error": repr(e)[:200]}
+        # the pruned --fast_step variant (not the shipped config; tracked
+        # so its speed/semantics trade stays measured)
+        try:
+            ff, ff_reps = measure(compute_dtype, reference_exact=False)
+            extra["bf16_fast_step"] = {
+                "value": round(ff, 3),
+                "vs_baseline": round(ff / BASELINE_SCENES_PER_SEC, 3),
+                "reps": [round(r, 1) for r in ff_reps],
+            }
+        except Exception as e:  # noqa: BLE001
+            extra["bf16_fast_step"] = {"error": repr(e)[:200]}
     if os.environ.get("BENCH_PRETRAIN", "1") != "0":
         # stage-1 supervised pretrain throughput (f32, the run_pretrain.sh
         # recipe); same 20 scenes/s yardstick held fixed across stages for

@@ -1,12 +1,15 @@
 #!/bin/sh
 # Usage: sh run_train_fast.sh <DEVICE_ID> <LOG_DIR> <DATASET> <LABELED_LIST> <PRETRAIN_CKPT>
-# Production-throughput SSL launcher: bf16 mixed precision + the fast step
-# (teacher on unlabeled scenes only, jittered GridConv on labeled scenes
-# only — both prune compute whose outputs the reference provably discards;
-# per-box numerics are identical, only train-mode BN batch statistics see a
-# different scene subset; see PARITY.md "Step semantics" and
-# train/steps.py::make_ssl_step). For paper-exact semantics use
-# run_train.sh.
+# Production-throughput SSL launcher: bf16 mixed precision with
+# REFERENCE-EXACT step semantics (the round-5 repaired headline config).
+#
+# The previous headline stacked bf16 with the pruned fast step; a 2x2
+# ablation showed each approximation alone is statistically sign-balanced
+# against the reference but the two compound to a measured accuracy
+# deficit (reports/flagship.md §3). This launcher therefore takes ONE
+# approximation only (bf16). For f32 paper-exact semantics use
+# run_train.sh; the pruned step remains available via --fast_step (do not
+# stack it with --bf16 for final training).
 mkdir -p "$2"
 python -m iou3dmatch_tpu.cli.train \
   --log_dir "$2" --dataset "$3" --labeled_sample_list "$4" \

@@ -240,7 +240,8 @@ def run_ours(root, dataset="scannet", variant="exact", ours_seed=0):
                   + (["--f32_gridconv"] if g32 else [])
                   + (["--exact_jitter"] if variant == "fastbn" else [])
                   + (["--full_teacher"] if variant == "fastteacher" else [])
-                  + ([] if fast_step else ["--reference_exact_step"]))
+                  + (["--fast_step"] if fast_step
+                     else ["--reference_exact_step"]))
     common = ["--dataset", dataset,
               "--data_path", data, "--labeled_sample_list", "labeled.txt",
               "--num_point", str(CONF["num_point"]), "--num_workers", "2",

@@ -67,6 +67,9 @@ def main() -> None:
     ap.add_argument("--trace-steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=35, help="ops to print")
     ap.add_argument("--reference-exact", action="store_true")
+    ap.add_argument("--exact-jitter", action="store_true",
+                    help="the repaired fast config (--exact_jitter)")
+    ap.add_argument("--full-teacher", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/ssl_profile_trace")
     ap.add_argument("--parse-only", action="store_true",
                     help="just re-parse an existing --trace-dir")
@@ -97,7 +100,8 @@ def main() -> None:
     batch = bench.make_batch(rng, cfg, args.bl, args.bu, args.points)
     state = create_train_state(model, jax.random.PRNGKey(0), batch, with_ema=True)
     step = make_ssl_step(
-        model, cfg, num_labeled=args.bl, reference_exact=args.reference_exact
+        model, cfg, num_labeled=args.bl, reference_exact=args.reference_exact,
+        exact_jitter=args.exact_jitter, full_teacher=args.full_teacher,
     )
 
     @jax.jit

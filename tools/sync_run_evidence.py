@@ -52,7 +52,17 @@ def main():
             print(f"[skip] {exp}: state dir {state} absent", file=sys.stderr)
             continue
         dst_root = os.path.join(REPO, "reports", "runs", exp)
+        # MERGE with already-committed evidence: a fresh container's state
+        # dir holds only this round's runs, but the committed copies of
+        # earlier rounds' runs must survive the re-sync.
         manifest = {"state_dir": state, "conf_overrides": conf, "runs": {}}
+        man_path = os.path.join(dst_root, "manifest.json")
+        if os.path.exists(man_path):
+            old = json.load(open(man_path))
+            assert old.get("conf_overrides") == conf, (
+                f"{exp}: committed manifest CONF {old.get('conf_overrides')} "
+                f"!= current {conf}")
+            manifest["runs"].update(old.get("runs", {}))
         n = 0
         for d in sorted(os.listdir(src_root)):
             src = os.path.join(src_root, d, "metrics.json")
