@@ -16,14 +16,15 @@ Treat it as a fixed yardstick for round-over-round comparison, not ground
 truth.
 
 The ONE emitted line's main value is the production config — since round
-5 that is bf16 mixed precision with REFERENCE-EXACT step semantics
-(run_train_fast.sh; the 2x2 ablation in reports/flagship.md §3 showed
-bf16 stacked on the pruned fast step compounds to an accuracy deficit,
-so the shipped config takes one approximation only). The f32
-``reference_exact`` parity configuration and the pruned ``--fast_step``
-variant are measured in the same run and carried as extra ``f32_exact`` /
-``bf16_fast_step`` keys so the speed numbers can never be traded silently
-against semantics (VERDICT r1, weak #2).
+5 that is FLOAT32 with the pruned ``--fast_step`` (run_train_fast.sh):
+the round-5 seed experiments (reports/flagship.md §3) measured bf16
+mixed precision itself at ~1σ below the reference on the dense-demo
+instrument regardless of step semantics, so the fastest configuration
+that still MATCHES the reference is f32 + fast step. The f32
+reference-exact paper config and the bf16 legs (the speed/accuracy
+trade, offered but not default) are measured in the same run and carried
+as extra ``f32_exact`` / ``bf16_fast_step`` keys so the speed numbers can
+never be traded silently against semantics (VERDICT r1, weak #2).
 
 Each config reports the MEDIAN of BENCH_REPS (default 3) timed windows of
 BENCH_STEPS steps, plus the raw reps, so the headline is robust to the
@@ -226,15 +227,17 @@ def main():
 
     # bf16 mixed precision is the production training config on TPU (the
     # drivers' --bf16 flag); BENCH_DTYPE=float32 opts out for parity runs.
-    dtype_env = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # Primary = the shipped run_train_fast.sh config: f32 + --fast_step
+    # (the fastest configuration measured to MATCH the reference,
+    # reports/flagship.md §3). BENCH_DTYPE=bfloat16 / BENCH_FAST_STEP=0
+    # re-point the primary leg for experiments.
+    dtype_env = os.environ.get("BENCH_DTYPE", "float32")
     compute_dtype = None if dtype_env in ("float32", "f32") else dtype_env
-    # The production step is reference-exact since round 5;
-    # BENCH_FAST_STEP=1 opts the primary leg into the pruned step.
-    fast_step = os.environ.get("BENCH_FAST_STEP", "0") == "1"
+    fast_step = os.environ.get("BENCH_FAST_STEP", "1") == "1"
     scenes_per_sec, reps = measure(compute_dtype,
                                    reference_exact=not fast_step)
 
-    dtype_tag = (",bf16" if compute_dtype else "") + (
+    dtype_tag = ("," + ("bf16" if compute_dtype else "f32")) + (
         ",fast-step" if fast_step else ",exact-step")
     global _partial_line
     _partial_line = {
@@ -248,28 +251,26 @@ def main():
     # Secondary legs, each failure-tolerant: a broken compile must not
     # discard the primary number.
     extra = {}
-    if os.environ.get("BENCH_BOTH", "1") != "0" and compute_dtype:
-        # the f32 reference-exact parity configuration, in the same artifact
-        try:
-            f32, f32_reps = measure(None, reference_exact=True)
-            extra["f32_exact"] = {
-                "value": round(f32, 3),
-                "vs_baseline": round(f32 / BASELINE_SCENES_PER_SEC, 3),
-                "reps": [round(r, 1) for r in f32_reps],
-            }
-        except Exception as e:  # noqa: BLE001 — report, don't die
-            extra["f32_exact"] = {"error": repr(e)[:200]}
-        # the pruned --fast_step variant (not the shipped config; tracked
-        # so its speed/semantics trade stays measured)
-        try:
-            ff, ff_reps = measure(compute_dtype, reference_exact=False)
-            extra["bf16_fast_step"] = {
-                "value": round(ff, 3),
-                "vs_baseline": round(ff / BASELINE_SCENES_PER_SEC, 3),
-                "reps": [round(r, 1) for r in ff_reps],
-            }
-        except Exception as e:  # noqa: BLE001
-            extra["bf16_fast_step"] = {"error": repr(e)[:200]}
+    if os.environ.get("BENCH_BOTH", "1") != "0":
+        # secondary legs: the f32 reference-exact paper config and the
+        # bf16 fast step (the documented speed/accuracy trade — the
+        # round-2..4 headline, kept measured for round-over-round
+        # comparability)
+        for key, (dt, ref_exact) in {
+            "f32_exact": (None, True),
+            "bf16_fast_step": ("bfloat16", False),
+        }.items():
+            if (dt, ref_exact) == (compute_dtype, not fast_step):
+                continue  # identical to the primary leg
+            try:
+                v, v_reps = measure(dt, reference_exact=ref_exact)
+                extra[key] = {
+                    "value": round(v, 3),
+                    "vs_baseline": round(v / BASELINE_SCENES_PER_SEC, 3),
+                    "reps": [round(r, 1) for r in v_reps],
+                }
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                extra[key] = {"error": repr(e)[:200]}
     if os.environ.get("BENCH_PRETRAIN", "1") != "0":
         # stage-1 supervised pretrain throughput (f32, the run_pretrain.sh
         # recipe); same 20 scenes/s yardstick held fixed across stages for
