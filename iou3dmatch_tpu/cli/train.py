@@ -87,17 +87,16 @@ def parse_args(argv=None):
                         "teacher on the full mixed batch with the jittered-"
                         "box GridConv pass, student jitter on every scene")
     p.add_argument("--fast_step", action="store_true",
-                   help="opt-in pruned SSL step: skip compute whose outputs "
-                        "the reference provably discards (teacher labeled "
-                        "rows, teacher jitter IoU, unlabeled student jitter) "
-                        "— ~19%% faster, but train-mode BN batch composition "
-                        "deviates, and STACKED WITH --bf16 the two "
-                        "approximations compound to a measured accuracy "
-                        "deficit (reports/flagship.md §3, 11/12 dense cells "
-                        "below the reference, sign-test p = 0.006). Either "
-                        "approximation alone is statistically sign-balanced "
-                        "against the reference; the shipped configs take at "
-                        "most one")
+                   help="pruned SSL step (run_train_fast.sh): skip compute "
+                        "whose outputs the reference provably discards "
+                        "(teacher labeled rows, teacher jitter IoU, "
+                        "unlabeled student jitter). Per-box numerics are "
+                        "identical; only train-mode BN batch composition "
+                        "deviates, and the config measures sign-balanced "
+                        "against the reference in f32 (reports/flagship.md "
+                        "§3). Avoid stacking with --bf16 for final training "
+                        "— bf16 SSL measured ~1 sigma low in every step "
+                        "variant on the dense-demo instrument")
     p.add_argument("--full_teacher", action="store_true",
                    help="run the teacher on the full mixed batch (reverts "
                         "fast-step pruning 1 only; implied by "

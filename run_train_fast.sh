@@ -1,19 +1,22 @@
 #!/bin/sh
 # Usage: sh run_train_fast.sh <DEVICE_ID> <LOG_DIR> <DATASET> <LABELED_LIST> <PRETRAIN_CKPT>
-# Production-throughput SSL launcher: float32 with the pruned --fast_step
-# — the FASTEST configuration measured to MATCH the reference on the
-# multi-seed dense experiments (reports/flagship.md §3).
+# Opt-in throughput SSL launcher: float32 with the pruned --fast_step.
 #
-# --fast_step skips compute whose outputs the reference provably
-# discards (teacher labeled rows, teacher jitter IoU, unlabeled student
-# jitter); per-box numerics are identical, only train-mode BN batch
-# composition deviates, and the configuration sign-balances against the
-# reference (mean z ~ 0). For f32 paper-exact semantics use run_train.sh.
+# --fast_step skips compute whose outputs the reference provably discards
+# (teacher labeled rows, teacher jitter IoU, unlabeled student jitter);
+# per-box numerics are IDENTICAL, only the train-mode BatchNorm batch
+# composition deviates. On the multi-seed dense-demo instrument it is
+# sign-balanced against the reference in 4 of 5 ScanNet seeds and all 3
+# SUN RGB-D seeds, but ONE ScanNet seed's SSL stage collapsed — the
+# few-shot mean-teacher loop is measurably fragile to ANY perturbation
+# there (bf16 shows the same failure mode; reports/flagship.md §3).
 #
-# bf16 mixed precision (--bf16) buys a further ~1.6x step speed but
-# measured ~1 sigma BELOW the reference on the dense-demo instrument in
-# EVERY step variant (round-5 seed experiments) — it is a documented
-# speed/accuracy trade, not the default.
+# The parity training contract — the config measured to reliably match
+# the reference — is run_train.sh (f32, reference-exact step, the driver
+# default). Use THAT for final training; use this launcher (and --bf16,
+# a further ~1.6x step speed at a measured ~1 sigma accuracy cost on the
+# demo instrument) when throughput matters more than the last sigma, and
+# monitor eval (--eval_interval) so a collapsed run is caught early.
 mkdir -p "$2"
 python -m iou3dmatch_tpu.cli.train \
   --log_dir "$2" --dataset "$3" --labeled_sample_list "$4" \
