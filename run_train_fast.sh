@@ -13,10 +13,11 @@
 #
 # The parity training contract — the config measured to reliably match
 # the reference — is run_train.sh (f32, reference-exact step, the driver
-# default). Use THAT for final training; use this launcher (and --bf16,
-# a further ~1.6x step speed at a measured ~1 sigma accuracy cost on the
-# demo instrument) when throughput matters more than the last sigma, and
-# monitor eval (--eval_interval) so a collapsed run is caught early.
+# default, 105.0 scenes/s). Use THAT for final training; use this
+# launcher (129.5 scenes/s, +23%) — or --bf16 (175.8 scenes/s, at a
+# measured ~1 sigma accuracy cost on the demo instrument) — when
+# throughput matters more than the last sigma, and monitor eval
+# (--eval_interval) so a collapsed run is caught early.
 mkdir -p "$2"
 python -m iou3dmatch_tpu.cli.train \
   --log_dir "$2" --dataset "$3" --labeled_sample_list "$4" \
