@@ -16,9 +16,12 @@ Aggregates every run's ``metrics.json`` under one or more experiment roots
    power, only the ensemble does (VERDICT r4 "what's weak" #1).
 
 Usage:
-  python tools/flagship_table.py [root ...]
+  python tools/flagship_table.py [--baseline GROUP] [root ...]
   (default root: _parity_demo_dense; with several roots a combined
-   ensemble over all their cells is printed at the end)
+   ensemble over all their cells is printed at the end. --baseline
+   selects the comparison group — default "reference"; the 16k
+   scale experiment has no feasible torch side on this 1-core host,
+   so its verdicts use --baseline exact.)
 """
 import json
 import math
@@ -91,7 +94,7 @@ def group_stats(rv, gv):
     return d, sem, z
 
 
-def report_root(root, ensemble):
+def report_root(root, ensemble, baseline="reference"):
     groups = load_groups(root)
     present = [g for g in GROUP_ORDER if g in groups]
     print(f"## {os.path.relpath(root, REPO)}")
@@ -117,17 +120,19 @@ def report_root(root, ensemble):
                                      f"± {np.std(vals, ddof=1):.3f}")
                 print(f"| {mode} | {metric}@{t} | " + " | ".join(cells) + " |")
 
-    if "reference" not in groups:
-        print("\n(no reference runs — verdict tables skipped)")
+    if baseline not in groups:
+        print(f"\n(no {baseline} runs — verdict tables skipped)")
         return
-    refs = groups["reference"]
+    refs = groups[baseline]
 
     # 2. per-cell verdicts per group (criterion: |z| <= 2, z = Δ/SEM,
     #    SEM = sqrt(var_ref/n_ref + var_group/n_group))
+    base_word = ("reference" if baseline == "reference"
+                 else GROUP_LABELS[baseline])
     for g in present:
-        if g == "reference":
+        if g == baseline:
             continue
-        print(f"\n### {GROUP_LABELS[g]} vs reference "
+        print(f"\n### {GROUP_LABELS[g]} vs {base_word} "
               f"(criterion: |z| <= 2, SEM of the mean difference)")
         print("| eval mode | metric | mean ref | mean group | Δ | SEM | z "
               "| |z|<=2? |")
@@ -153,18 +158,24 @@ def report_root(root, ensemble):
         p = sign_test_p(below, n_cells)
         mean_z = np.mean(zs) if zs else float("nan")
         print(f"\n**ensemble ({GROUP_LABELS[g]}):** {below}/{n_cells} cells "
-              f"below the reference mean (two-sided sign-test p = {p:.3g}); "
+              f"below the {base_word} mean (two-sided sign-test p = {p:.3g}); "
               f"mean z = {mean_z:+.2f}")
         ensemble.setdefault(g, []).append((below, n_cells, zs))
     print()
 
 
 def main():
-    roots = sys.argv[1:] or ["_parity_demo_dense"]
+    argv = sys.argv[1:]
+    baseline = "reference"
+    if "--baseline" in argv:
+        i = argv.index("--baseline")
+        baseline = argv[i + 1]
+        del argv[i:i + 2]
+    roots = argv or ["_parity_demo_dense"]
     roots = [r if os.path.isabs(r) else os.path.join(REPO, r) for r in roots]
     ensemble = {}
     for root in roots:
-        report_root(root, ensemble)
+        report_root(root, ensemble, baseline)
     if len(roots) > 1:
         print("## combined ensemble across all roots")
         for g, recs in ensemble.items():

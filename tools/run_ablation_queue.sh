@@ -3,11 +3,12 @@
 # the TPU so the chip never idles. Each run is resumable; re-running the
 # script skips completed runs (metrics.json present).
 #   usage: run_ablation_queue.sh [variant:seed ...]
-#   env:   Q_ROOT (default _parity_demo_dense), Q_DATASET (default scannet)
+#   env:   Q_ROOT (default _parity_demo_dense), Q_DATASET (default scannet),
+#          Q_CONF (PARITY_DEMO_CONF JSON override; default = dense schedule)
 set -u
 cd /root/repo
 export PARITY_DEMO_OURS_PLATFORM=tpu
-export PARITY_DEMO_CONF='{"pre_epochs":200,"ssl_epochs":30,"n_val":12}'
+export PARITY_DEMO_CONF=${Q_CONF:-'{"pre_epochs":200,"ssl_epochs":30,"n_val":12}'}
 ROOT=${Q_ROOT:-_parity_demo_dense}
 DATASET=${Q_DATASET:-scannet}
 
