@@ -23,6 +23,13 @@ EXPERIMENTS = {
                       {"pre_epochs": 200, "ssl_epochs": 30, "n_val": 12}),
     "sunrgbd_dense": ("_parity_demo_sunrgbd_dense",
                       {"pre_epochs": 200, "ssl_epochs": 30, "n_val": 12}),
+    # VERDICT r4 #4 scale axis: production-ish point count (16,384/scene
+    # vs the dense demos' 4,096), scenes sampled from 50k-vert clouds.
+    # No torch reference side — its CPU-bound trainings are infeasible at
+    # this scale on the 1-core host; verdicts use --baseline exact.
+    "scannet_16k": ("_parity_demo_16k",
+                    {"num_point": 16384, "verts": 50000,
+                     "pre_epochs": 200, "ssl_epochs": 30, "n_val": 12}),
 }
 
 VARIANTS = {"": "exact", "fast": "fast", "f32fast": "f32fast",
